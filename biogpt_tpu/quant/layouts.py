@@ -1,0 +1,158 @@
+"""TPU-friendly plane layout for quantized weights.
+
+The ggml on-disk layout interleaves scales and packed nibbles per 32-element
+block — fine for CPU SIMD, hostile to the MXU. On TPU we re-lay each
+quantized 2-D weight out as separate dense *planes* that XLA/Pallas can tile:
+
+  levels : int8   (d_in, d_out)        integer levels, centered where the
+                                       format has a zero-point shift
+                                       (Q4_0: q-8, Q5_0: q-16, Q8_0: q)
+  scales : float16 (d_in // 32, d_out) per-block scale d
+  mins   : float16 (d_in // 32, d_out) per-block min m (Q4_1/Q5_1 only)
+
+Dequantization is exactly ``levels * repeat(scales, 32, axis=0)`` for the
+_0 formats and ``levels * repeat(scales) + repeat(mins)`` for the _1
+formats — bit-identical values to the ggml decode (scales kept in fp16,
+widened at use).
+
+Weights are stored transposed relative to torch ((d_in, d_out), "kernel"
+orientation) so activations contract over the leading axis: y = x @ w.
+Blocks run along d_in, matching the reference codec row semantics
+(row length = ne[0] = d_in; ``/root/reference/biogpt.cpp:568``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+import jax
+
+from . import codecs
+from .codecs import (
+    QK,
+    GGML_TYPE_Q4_0,
+    GGML_TYPE_Q4_1,
+    GGML_TYPE_Q5_0,
+    GGML_TYPE_Q5_1,
+    GGML_TYPE_Q8_0,
+)
+
+# Zero-point shift applied when centering levels per format.
+LEVEL_OFFSET = {
+    GGML_TYPE_Q4_0: 8,
+    GGML_TYPE_Q4_1: 0,
+    GGML_TYPE_Q5_0: 16,
+    GGML_TYPE_Q5_1: 0,
+    GGML_TYPE_Q8_0: 0,
+}
+
+
+class QuantizedTensor(NamedTuple):
+    """A quantized 2-D weight in plane layout. A pytree of arrays + static qtype.
+
+    ``levels``/``scales``/``mins`` may be numpy or jax arrays. ``qtype`` is a
+    plain int (ggml_type code) — static metadata, not a leaf.
+    """
+
+    levels: Any                 # int8 (d_in, d_out)
+    scales: Any                 # float16 (d_in // QK, d_out)
+    mins: Optional[Any]         # float16 (d_in // QK, d_out) or None
+    qtype: int
+
+    @property
+    def shape(self):
+        return self.levels.shape
+
+    @property
+    def d_in(self):
+        return self.levels.shape[0]
+
+    @property
+    def d_out(self):
+        return self.levels.shape[1]
+
+
+# Register as a pytree so QuantizedTensor can live inside params.
+def _qt_flatten(qt: QuantizedTensor):
+    if qt.mins is None:
+        return (qt.levels, qt.scales), (qt.qtype, False)
+    return (qt.levels, qt.scales, qt.mins), (qt.qtype, True)
+
+
+def _qt_unflatten(aux, children):
+    qtype, has_mins = aux
+    if has_mins:
+        levels, scales, mins = children
+    else:
+        (levels, scales), mins = children, None
+    return QuantizedTensor(levels=levels, scales=scales, mins=mins, qtype=qtype)
+
+
+jax.tree_util.register_pytree_node(QuantizedTensor, _qt_flatten, _qt_unflatten)
+
+
+def to_planes(raw: bytes | np.ndarray, shape_out_in: tuple[int, int], qtype: int) -> QuantizedTensor:
+    """ggml block bytes of a (d_out, d_in)-shaped weight -> plane layout.
+
+    ``shape_out_in`` is the ggml/torch orientation (n_rows=d_out,
+    row_len=d_in); the returned planes are transposed to (d_in, d_out).
+    """
+    d_out, d_in = shape_out_in
+    if d_in % QK != 0:
+        raise ValueError(f"d_in={d_in} not a multiple of {QK}")
+    bs = codecs.BLOCK_SIZES[qtype]
+    buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray)) else np.asarray(raw, dtype=np.uint8)
+    blocks = buf.reshape(d_out, d_in // QK, bs)
+
+    if qtype in (GGML_TYPE_Q4_0, GGML_TYPE_Q4_1, GGML_TYPE_Q5_0, GGML_TYPE_Q5_1):
+        if qtype == GGML_TYPE_Q4_0:
+            d_off, m_off, qh_off, qs_off = 0, None, None, 2
+        elif qtype == GGML_TYPE_Q4_1:
+            d_off, m_off, qh_off, qs_off = 0, 2, None, 4
+        elif qtype == GGML_TYPE_Q5_0:
+            d_off, m_off, qh_off, qs_off = 0, None, 2, 6
+        else:  # Q5_1
+            d_off, m_off, qh_off, qs_off = 0, 2, 4, 8
+        qs = blocks[:, :, qs_off:]
+        lo = qs & 0x0F
+        hi = (qs >> 4) & 0x0F
+        q = np.concatenate([lo, hi], axis=2).astype(np.uint8)  # (d_out, nb, 32)
+        if qh_off is not None:
+            qh = np.ascontiguousarray(blocks[:, :, qh_off:qh_off + 4]).view("<u4")[..., 0]
+            shifts = np.arange(32, dtype=np.uint32)[None, None, :]
+            fifth = ((qh[..., None] >> shifts) & 1).astype(np.uint8)
+            q = q | (fifth << 4)
+        levels = (q.astype(np.int16) - LEVEL_OFFSET[qtype]).astype(np.int8)
+        scales = np.ascontiguousarray(blocks[:, :, d_off:d_off + 2]).view(np.float16)[..., 0]
+        mins = None
+        if m_off is not None:
+            mins = np.ascontiguousarray(blocks[:, :, m_off:m_off + 2]).view(np.float16)[..., 0]
+    elif qtype == GGML_TYPE_Q8_0:
+        levels = np.ascontiguousarray(blocks[:, :, 2:]).view(np.int8)
+        scales = np.ascontiguousarray(blocks[:, :, 0:2]).view(np.float16)[..., 0]
+        mins = None
+    else:
+        raise ValueError(f"not a quantized type: {qtype}")
+
+    # (d_out, nb, 32) -> (d_in, d_out); (d_out, nb) -> (nb, d_out)
+    levels_t = levels.reshape(d_out, d_in).T.copy()
+    scales_t = scales.T.copy()
+    mins_t = mins.T.copy() if mins is not None else None
+    return QuantizedTensor(levels=levels_t, scales=scales_t, mins=mins_t, qtype=qtype)
+
+
+def quantize_to_planes(w_out_in: np.ndarray, qtype: int) -> QuantizedTensor:
+    """float32 (d_out, d_in) weight -> plane layout (through the codec)."""
+    raw = codecs.quantize_rows(w_out_in, qtype)
+    return to_planes(raw, w_out_in.shape, qtype)
+
+
+def from_planes(qt: QuantizedTensor) -> np.ndarray:
+    """Plane layout -> dequantized float32 (d_in, d_out) kernel."""
+    levels = np.asarray(qt.levels).astype(np.float32)
+    scales = np.repeat(np.asarray(qt.scales).astype(np.float32), QK, axis=0)
+    w = levels * scales
+    if qt.mins is not None:
+        w = w + np.repeat(np.asarray(qt.mins).astype(np.float32), QK, axis=0)
+    return w

@@ -1,0 +1,15 @@
+"""Test configuration: run JAX on 8 virtual CPU devices.
+
+Sharding tests need a multi-device mesh; the driver's real-TPU bench runs
+separately. Setting the platform before jax import is mandatory.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
