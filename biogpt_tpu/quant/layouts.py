@@ -142,6 +142,22 @@ def to_planes(raw: bytes | np.ndarray, shape_out_in: tuple[int, int], qtype: int
     return QuantizedTensor(levels=levels_t, scales=scales_t, mins=mins_t, qtype=qtype)
 
 
+def to_lookup_planes(raw: bytes | np.ndarray, shape_rows_cols: tuple[int, int], qtype: int) -> QuantizedTensor:
+    """ggml block bytes of an embedding table -> row-major plane layout.
+
+    Unlike :func:`to_planes` there is no transpose: ``levels`` keeps the
+    (n_rows, row_len) table orientation for gather-style lookup, with
+    ``scales``/``mins`` of shape (n_rows, row_len // QK).
+    """
+    qt = to_planes(raw, shape_rows_cols, qtype)
+    return QuantizedTensor(
+        levels=np.ascontiguousarray(qt.levels.T),
+        scales=np.ascontiguousarray(qt.scales.T),
+        mins=np.ascontiguousarray(qt.mins.T) if qt.mins is not None else None,
+        qtype=qtype,
+    )
+
+
 def quantize_to_planes(w_out_in: np.ndarray, qtype: int) -> QuantizedTensor:
     """float32 (d_out, d_in) weight -> plane layout (through the codec)."""
     raw = codecs.quantize_rows(w_out_in, qtype)
