@@ -1,0 +1,107 @@
+"""Generation CLI — the TPU counterpart of the reference ``biogpt`` binary.
+
+Mirrors the reference's flags (``/root/reference/biogpt.h:109-126``,
+``biogpt.cpp:982-1040``) and run report (``examples/main/main.cpp:153-162``),
+with the reference's CLI bugs fixed: ``-l`` really sets the language
+(biogpt.cpp:992-993 overwrote the prompt), and generation stops at ``</s>``
+(main.cpp:148 compared against n_vocab). ``--no-stop-at-eos`` restores the
+run-to-n_predict behavior.
+
+Usage: python -m biogpt_tpu.cli -m ggml-model.bin -p "COVID-19 is" -n 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax.numpy as jnp
+
+from .config import GenerationParams
+from .modelio.checkpoint import load_params
+from .runtime.engine import Engine
+from .tokenizer import BioGptTokenizer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="biogpt_tpu", description=__doc__.splitlines()[0])
+    p.add_argument("-m", "--model", default="ggml-model.bin", help="model path")
+    p.add_argument("-p", "--prompt", default="", help="prompt to start generation with")
+    p.add_argument("-s", "--seed", type=int, default=-1, help="RNG seed (default: -1 = time)")
+    p.add_argument("-n", "--n_predict", type=int, default=200, help="number of tokens to predict")
+    p.add_argument("-l", "--lang", default="en", help="language of the prompt")
+    p.add_argument("--top_k", type=int, default=40, help="top-k sampling")
+    p.add_argument("--top_p", type=float, default=0.9, help="top-p sampling")
+    p.add_argument("--temp", type=float, default=0.9, help="temperature (0 = greedy)")
+    p.add_argument("-b", "--batch_size", type=int, default=8,
+                   help="accepted for reference compatibility (prefill is bucketed)")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="accepted for reference compatibility (XLA manages threads)")
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                   help="compute dtype (bf16 rides the MXU; f32 for parity)")
+    p.add_argument("--no-stop-at-eos", action="store_true",
+                   help="reference-compat: never stop at </s>")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    t_start = time.perf_counter()
+    t0 = time.perf_counter()
+    config, token_to_id, merges, params = load_params(args.model)
+    tokenizer = BioGptTokenizer(token_to_id, merges, lang=args.lang)
+    t_load = time.perf_counter() - t0
+
+    if args.verbosity > 0:
+        print(f"model: {args.model} d_model={config.d_model} n_layer={config.n_layer} "
+              f"n_head={config.n_head} n_vocab={config.n_vocab} ftype={config.ftype}",
+              file=sys.stderr)
+
+    engine = Engine(
+        config, params,
+        compute_dtype=jnp.float32 if args.dtype == "f32" else jnp.bfloat16,
+    )
+
+    gen = GenerationParams(
+        seed=args.seed, n_predict=args.n_predict, top_k=args.top_k,
+        top_p=args.top_p, temp=args.temp, lang=args.lang,
+        stop_at_eos=not args.no_stop_at_eos,
+    )
+
+    prompt_ids = tokenizer.encode(args.prompt)
+    print(f"prompt: '{args.prompt}'", file=sys.stderr)
+    print(f"number of tokens in prompt = {len(prompt_ids)}, first 8 tokens: "
+          f"{prompt_ids[:8]}", file=sys.stderr)
+
+    emitted = []
+
+    def stream(tok_id: int) -> None:
+        emitted.append(tok_id)
+        piece = tokenizer.id_to_token.get(tok_id, "<unk>")
+        print(piece.replace("</w>", " ").replace("</s>", ""), end="", flush=True)
+
+    result = engine.generate(prompt_ids, gen, stream_cb=stream)
+    print()
+
+    text = tokenizer.decode(result.ids)
+    print("\n--- detokenized ---", file=sys.stderr)
+    print(text)
+
+    t_total = time.perf_counter() - t_start
+    t = result.timings
+    print(file=sys.stderr)
+    print(f"    load time = {t_load * 1e3:8.2f} ms", file=sys.stderr)
+    print(f" prefill time = {t['prefill_s'] * 1e3:8.2f} ms", file=sys.stderr)
+    print(f"  sample time = {t['sample_s'] * 1e3:8.2f} ms", file=sys.stderr)
+    print(f" predict time = {t['decode_s'] * 1e3:8.2f} ms / "
+          f"{t['ms_per_token']:.2f} ms per token", file=sys.stderr)
+    print(f"   total time = {t_total * 1e3:8.2f} ms", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

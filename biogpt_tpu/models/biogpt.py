@@ -1,0 +1,163 @@
+"""The BioGPT decoder as pure functions over a params pytree.
+
+Architecture (OPT-style decoder-only transformer, per the reference graph
+builder ``/root/reference/biogpt.cpp:624-810`` and HF BioGptForCausalLM):
+
+  - token embedding scaled by sqrt(d_model)            (biogpt.cpp:664-665)
+  - learned positions with +2 offset                   (biogpt.cpp:672)
+  - pre-LN blocks, eps 1e-5                            (biogpt.cpp:692-701)
+  - per-head query pre-scaled by 1/sqrt(d_kv)          (biogpt.cpp:710)
+  - attention over the full KV cache
+  - GELU FFN, residuals around attention and FFN
+  - final LN, untied lm_head                           (biogpt.cpp:798-803)
+
+Unlike the reference (which omits it, SURVEY §8 Q1), prefill applies a
+correct causal mask by default; ``causal=False`` reproduces the reference's
+unmasked behavior for parity experiments.
+
+One ``forward`` serves prefill (n_new > 1) and decode (n_new == 1) under
+jit: shapes are static per (batch, n_new) bucket, positions are traced.
+All matmuls route through ops.matmul so dense and quantized weights are
+interchangeable leaf-by-leaf.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BioGptConfig
+from ..ops import matmul, embedding_lookup
+from ..ops.qmatmul import precision_for
+from ..runtime.cache import KVCache, update_layer
+
+
+def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * w.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def _project(x, wb, compute_dtype):
+    return matmul(x, wb["w"], compute_dtype=compute_dtype) + wb["b"].astype(jnp.float32)
+
+
+def _attention(
+    layer_params: dict,
+    x: jax.Array,                # (B, N, D) float32
+    cache: KVCache,
+    layer_ix: int,
+    past: jax.Array,             # scalar int32: tokens already in cache
+    config: BioGptConfig,
+    compute_dtype,
+    causal: bool,
+    n_valid: jax.Array,          # scalar int32: real (unpadded) new-token count
+) -> Tuple[jax.Array, KVCache]:
+    B, N, D = x.shape
+    H, Dk = config.n_head, config.d_kv
+    scaling = 1.0 / math.sqrt(Dk)
+
+    q = (_project(x, layer_params["q"], compute_dtype) * scaling)
+    k = _project(x, layer_params["k"], compute_dtype)
+    v = _project(x, layer_params["v"], compute_dtype)
+    q = q.reshape(B, N, H, Dk)
+    k = k.reshape(B, N, H, Dk)
+    v = v.reshape(B, N, H, Dk)
+
+    cache = update_layer(cache, layer_ix, k, v, past)
+    S = cache.max_len
+    k_all = cache.k[layer_ix].astype(jnp.float32)   # (B, S, H, Dk)
+    v_all = cache.v[layer_ix].astype(jnp.float32)
+
+    # scores over the whole cache buffer; invalid positions masked below
+    prec = precision_for(compute_dtype)
+    scores = jnp.einsum("bnhd,bshd->bhns", q, k_all,
+                        preferred_element_type=jnp.float32, precision=prec)
+
+    pos_s = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]       # cache slot
+    if causal:
+        pos_n = past + jnp.arange(N, dtype=jnp.int32)[None, None, :, None]
+        valid = pos_s <= pos_n
+    else:
+        # reference-compat: every new token sees the whole written range of
+        # REAL tokens (bucket padding must stay invisible)
+        valid = pos_s < past + n_valid
+    scores = jnp.where(valid, scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+
+    ctx = jnp.einsum("bhns,bshd->bnhd", attn, v_all,
+                     preferred_element_type=jnp.float32, precision=prec)
+    ctx = ctx.reshape(B, N, D)
+    out = _project(ctx, layer_params["o"], compute_dtype)
+    return out, cache
+
+
+def forward(
+    params: dict,
+    tokens: jax.Array,           # (B, N) int32
+    cache: KVCache,
+    past: jax.Array,             # scalar int32
+    config: BioGptConfig,
+    compute_dtype=jnp.float32,
+    causal: bool = True,
+    logits_mode: str = "last",   # "last" | "all"
+    last_index: Optional[jax.Array] = None,  # for "last": position of the
+                                             # real final token (padded prefill)
+) -> Tuple[jax.Array, KVCache]:
+    """One forward step (prefill or decode). Pure; jit at the call site with
+    ``static_argnames=("config", "compute_dtype", "causal", "logits_mode")``.
+
+    Returns (logits, cache): logits (B, n_vocab) for "last" or (B, N,
+    n_vocab) for "all" — the reference extracts last-position logits only
+    (biogpt.cpp:842-844); "all" serves scoring/perplexity.
+    """
+    B, N = tokens.shape
+    emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
+    positions = past + jnp.arange(N, dtype=jnp.int32)[None, :] + config.pos_offset
+    pos_emb = embedding_lookup(positions, params["embed_positions"])
+    x = emb + pos_emb  # (B, N, D) float32
+
+    n_valid = jnp.asarray(N if last_index is None else last_index + 1, jnp.int32)
+    for i, layer in enumerate(params["layers"]):
+        h = _layer_norm(x, layer["ln0"]["w"], layer["ln0"]["b"], config.ln_eps)
+        attn_out, cache = _attention(
+            layer, h, cache, i, past, config, compute_dtype, causal, n_valid)
+        x = x + attn_out
+        h = _layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], config.ln_eps)
+        h = _project(h, layer["fc1"], compute_dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = _project(h, layer["fc2"], compute_dtype)
+        x = x + h
+
+    x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"], config.ln_eps)
+    if logits_mode == "last":
+        idx = jnp.asarray(N - 1 if last_index is None else last_index, jnp.int32)
+        x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
+    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype)
+    if logits_mode == "last":
+        logits = logits[:, 0, :]
+    return logits, cache
+
+
+def logits_for_tokens(
+    params: dict,
+    tokens: jax.Array,           # (B, N)
+    config: BioGptConfig,
+    compute_dtype=jnp.float32,
+    cache_dtype=jnp.float16,
+) -> jax.Array:
+    """Full-sequence logits (B, N, V) in one pass — for scoring/perplexity."""
+    from ..runtime.cache import init_cache
+
+    B, N = tokens.shape
+    cache = init_cache(config, batch=B, max_len=N, dtype=cache_dtype)
+    logits, _ = forward(
+        params, tokens, cache, jnp.int32(0), config,
+        compute_dtype=compute_dtype, logits_mode="all",
+    )
+    return logits

@@ -1,0 +1,109 @@
+"""Quantized matmul and embedding lookup — XLA-native reference paths.
+
+These are the correctness oracles (and default fallbacks) for the Pallas
+kernels in ``pallas_qmatmul.py``. They replace ggml's fused dequant+matmul
+(`ggml_mul_mat` on quantized types, the hot kernel class of the reference,
+``/root/reference/biogpt.cpp:705-803``).
+
+Key trick: the dequantized weight is never materialized. With levels L
+(d_in, d_out), per-block scales d (nb, d_out) and mins m, and x reshaped to
+blocks (..., nb, QK):
+
+  _0 formats:  x @ W = sum_n [ (x_n @ L_n) * d_n ]
+  _1 formats:  x @ W = sum_n [ (x_n @ L_n) * d_n + (sum_k x_nk) * m_n ]
+
+i.e. a batched per-block matmul with the scale applied to per-block partial
+sums — mathematically identical to dequantize-then-matmul (up to float
+associativity), at int8 + fp16-plane memory traffic.
+
+Integer levels are exact in bfloat16 (|level| <= 127 < 2^8), and MXU
+bf16xbf16 products accumulate in f32, so the bf16 path loses precision only
+through activation rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.codecs import QK
+from ..quant.layouts import QuantizedTensor
+
+
+def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    """Materialize the dequantized kernel (d_in, d_out). Debug/oracle only."""
+    scales = jnp.repeat(w.scales.astype(dtype), QK, axis=0)
+    out = w.levels.astype(dtype) * scales
+    if w.mins is not None:
+        out = out + jnp.repeat(w.mins.astype(dtype), QK, axis=0)
+    return out
+
+
+def precision_for(dtype) -> jax.lax.Precision:
+    """On TPU, f32 dot defaults to one bf16 MXU pass; request true-f32
+    (multi-pass) precision when the compute dtype is float32 so parity-mode
+    runs are parity-grade. bf16 inputs are unaffected."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def matmul(
+    x: jax.Array,
+    w: Any,
+    *,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """y = x @ w for dense (d_in, d_out) or QuantizedTensor weights.
+
+    ``x``: (..., d_in). Output: (..., d_out) in f32 (accumulator dtype).
+    ``compute_dtype`` casts the multiplicands (bf16 for MXU speed, f32 for
+    parity); defaults to x.dtype for dense and f32 for quantized oracle use.
+    """
+    if compute_dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # CPU XLA lacks the batched bf16 x bf16 -> f32 dot; bf16 only pays
+        # on the MXU anyway.
+        compute_dtype = jnp.float32
+
+    if not isinstance(w, QuantizedTensor):
+        cd = compute_dtype or x.dtype
+        return jnp.dot(x.astype(cd), w.astype(cd),
+                       preferred_element_type=jnp.float32,
+                       precision=precision_for(cd))
+
+    cd = compute_dtype or jnp.float32
+    d_in, d_out = w.levels.shape
+    nb = d_in // QK
+    batch_shape = x.shape[:-1]
+    xb = x.reshape(*batch_shape, nb, QK).astype(cd)
+    levels = w.levels.reshape(nb, QK, d_out).astype(cd)
+    # per-block partial sums, f32 accumulation on the MXU
+    partial = jnp.einsum(
+        "...nk,nko->...no", xb, levels, preferred_element_type=jnp.float32,
+        precision=precision_for(cd),
+    )
+    out = jnp.sum(partial * w.scales.astype(jnp.float32), axis=-2)
+    if w.mins is not None:
+        xsum = jnp.sum(xb.astype(jnp.float32), axis=-1)  # (..., nb)
+        out = out + jnp.einsum(
+            "...n,no->...o", xsum, w.mins.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    return out
+
+
+def embedding_lookup(ids: jax.Array, table: Any, dtype=jnp.float32) -> jax.Array:
+    """Row gather from a dense or quantized (row-major planes) embedding.
+
+    ``ids``: int array (...,). Output: (..., d_model). Quantized rows are
+    dequantized on the fly — bit-identical values to full dequantization.
+    """
+    if not isinstance(table, QuantizedTensor):
+        return jnp.asarray(table)[ids].astype(dtype)
+    lv = table.levels[ids].astype(dtype)                      # (..., D)
+    sc = table.scales[ids].astype(dtype)                      # (..., D//QK)
+    out = lv * jnp.repeat(sc, QK, axis=-1)
+    if table.mins is not None:
+        out = out + jnp.repeat(table.mins[ids].astype(dtype), QK, axis=-1)
+    return out

@@ -1,0 +1,59 @@
+"""KV cache as a pytree of preallocated arrays.
+
+Replaces the reference's two flat F32 slabs (``memory_k``/``memory_v``,
+``/root/reference/biogpt.cpp:323-357``) with shaped, dtype-configurable
+arrays updated functionally via ``lax.dynamic_update_slice``:
+
+  k, v: (n_layer, batch, max_len, n_head, d_kv)
+
+Default dtype float16 (the north-star upgrade over the reference's F32 —
+half the HBM traffic on the decode attention path). The head axis is
+placed last-but-one so tensor parallelism shards it cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BioGptConfig
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (n_layer, batch, max_len, n_head, d_kv)
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_cache(
+    config: BioGptConfig,
+    batch: int = 1,
+    max_len: int | None = None,
+    dtype=jnp.float16,
+) -> KVCache:
+    shape = (config.n_layer, batch, max_len or config.n_positions,
+             config.n_head, config.d_kv)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def update_layer(
+    cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array, past: jax.Array
+) -> KVCache:
+    """Write (batch, n_new, n_head, d_kv) at position `past` of one layer."""
+    k_new = k_new.astype(cache.k.dtype)[None]
+    v_new = v_new.astype(cache.v.dtype)[None]
+    zero = jnp.zeros((), jnp.int32)
+    idx = (jnp.asarray(layer, jnp.int32), zero, jnp.asarray(past, jnp.int32), zero, zero)
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, k_new, idx),
+        v=jax.lax.dynamic_update_slice(cache.v, v_new, idx),
+    )

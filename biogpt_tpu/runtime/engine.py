@@ -1,0 +1,189 @@
+"""The generation engine: jitted prefill/decode with bucketed shapes.
+
+The reference rebuilds its ggml graph from scratch every token
+(``biogpt_eval``, ``/root/reference/biogpt.cpp:812-847`` — SURVEY §8 Q10).
+The TPU-native equivalent is the opposite: ``forward`` is traced and
+compiled ONCE per shape bucket, the KV cache is a donated pytree (updated
+in place on device, no per-step copies), and positions/lengths are traced
+scalars so a single compiled decode step serves the whole generation.
+
+Prefill pads the prompt up to a power-of-two bucket so arbitrary prompt
+lengths reuse a handful of compiled programs; the real last-token index is
+passed into the jitted function to extract the right logits row.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BioGptConfig, GenerationParams
+from ..models.biogpt import forward
+from .cache import KVCache, init_cache
+from .sampling import greedy, sample_top_k_top_p
+
+
+def _bucket(n: int, floor: int = 8) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class GenerationResult:
+    ids: List[int]
+    prompt_len: int
+    timings: dict = field(default_factory=dict)
+
+    @property
+    def new_ids(self) -> List[int]:
+        return self.ids[self.prompt_len:]
+
+
+class Engine:
+    """Single-model generation engine (batch=1 decode; batched scoring).
+
+    ``compute_dtype``: jnp.bfloat16 for speed (default), jnp.float32 for
+    bit-careful parity work. ``cache_dtype`` defaults to float16 (the
+    north-star upgrade over the reference's F32 cache).
+    """
+
+    def __init__(
+        self,
+        config: BioGptConfig,
+        params,
+        compute_dtype=jnp.bfloat16,
+        cache_dtype=jnp.float16,
+        causal: bool = True,
+        max_seq: Optional[int] = None,
+        donate_cache: bool = True,
+    ):
+        self.config = config
+        self.compute_dtype = compute_dtype
+        self.cache_dtype = cache_dtype
+        self.causal = causal
+        self.max_seq = max_seq or config.n_positions
+        self.params = jax.device_put(params)
+
+        static = ("config", "compute_dtype", "causal", "logits_mode")
+        donate = ("cache",) if donate_cache else ()
+        self._step = jax.jit(
+            forward, static_argnames=static, donate_argnames=donate)
+
+    # ------------------------------------------------------------- plumbing
+
+    def new_cache(self, batch: int = 1) -> KVCache:
+        return init_cache(self.config, batch=batch, max_len=self.max_seq,
+                          dtype=self.cache_dtype)
+
+    def prefill(self, cache: KVCache, token_ids: List[int] | np.ndarray):
+        """Run the prompt through the model. Returns (logits(B,V), cache, n)."""
+        ids = np.asarray(token_ids, dtype=np.int32)
+        if ids.ndim == 1:
+            ids = ids[None, :]
+        n = ids.shape[1]
+        if n > self.max_seq:
+            raise ValueError(f"prompt length {n} exceeds max_seq {self.max_seq}")
+        padded = _bucket(n)
+        if padded > self.max_seq:
+            padded = self.max_seq
+        buf = np.zeros((ids.shape[0], padded), dtype=np.int32)
+        buf[:, :n] = ids
+        logits, cache = self._step(
+            self.params, jnp.asarray(buf), cache, jnp.int32(0), self.config,
+            compute_dtype=self.compute_dtype, causal=self.causal,
+            logits_mode="last", last_index=jnp.int32(n - 1),
+        )
+        return logits, cache, n
+
+    def decode_step(self, cache: KVCache, token: int | jax.Array, past: int | jax.Array):
+        """One-token decode. Returns (logits(B,V), cache)."""
+        tok = jnp.asarray(token, jnp.int32).reshape(1, 1)
+        logits, cache = self._step(
+            self.params, tok, cache, jnp.asarray(past, jnp.int32), self.config,
+            compute_dtype=self.compute_dtype, causal=self.causal,
+            logits_mode="last",
+        )
+        return logits, cache
+
+    # ------------------------------------------------------------ generation
+
+    def generate(
+        self,
+        prompt_ids: List[int],
+        gen: GenerationParams | None = None,
+        stream_cb: Optional[Callable[[int], None]] = None,
+    ) -> GenerationResult:
+        """Prefill + sample/decode loop (host-driven, streamable)."""
+        gen = gen or GenerationParams()
+        seed = gen.seed if gen.seed >= 0 else int(time.time())
+        rng = jax.random.PRNGKey(seed)
+
+        n_predict = min(gen.n_predict, self.config.n_positions - len(prompt_ids))
+        ids = list(prompt_ids)
+
+        t0 = time.perf_counter()
+        cache = self.new_cache(batch=1)
+        logits, cache, past = self.prefill(cache, ids)
+        jax.block_until_ready(logits)
+        t_prefill = time.perf_counter() - t0
+
+        t_sample = 0.0
+        t_decode = 0.0
+        for _ in range(n_predict):
+            ts = time.perf_counter()
+            if gen.temp <= 0:
+                tok = greedy(logits)
+            else:
+                rng, sub = jax.random.split(rng)
+                tok = sample_top_k_top_p(
+                    sub, logits, top_k=gen.top_k, top_p=gen.top_p, temp=gen.temp)
+            tok_host = int(jax.block_until_ready(tok)[0])
+            t_sample += time.perf_counter() - ts
+
+            ids.append(tok_host)
+            if stream_cb is not None:
+                stream_cb(tok_host)
+            if gen.stop_at_eos and tok_host == gen.eos_token_id:
+                break
+
+            td = time.perf_counter()
+            logits, cache = self.decode_step(cache, tok_host, past)
+            jax.block_until_ready(logits)
+            past += 1
+            t_decode += time.perf_counter() - td
+
+        n_new = len(ids) - len(prompt_ids)
+        return GenerationResult(
+            ids=ids,
+            prompt_len=len(prompt_ids),
+            timings={
+                "prefill_s": t_prefill,
+                "sample_s": t_sample,
+                "decode_s": t_decode,
+                "n_new": n_new,
+                "ms_per_token": (t_decode / max(n_new - 1, 1)) * 1e3,
+            },
+        )
+
+    # -------------------------------------------------------------- scoring
+
+    def score(self, token_ids, batch: bool = False) -> np.ndarray:
+        """Full-sequence logits (B, N, V) — for perplexity and parity tests."""
+        ids = np.asarray(token_ids, dtype=np.int32)
+        if ids.ndim == 1:
+            ids = ids[None, :]
+        cache = init_cache(self.config, batch=ids.shape[0],
+                           max_len=ids.shape[1], dtype=self.cache_dtype)
+        logits, _ = self._step(
+            self.params, jnp.asarray(ids), cache, jnp.int32(0), self.config,
+            compute_dtype=self.compute_dtype, causal=self.causal,
+            logits_mode="all",
+        )
+        return np.asarray(logits)
