@@ -40,7 +40,7 @@ def top_k_top_p_probs(
     # keeps everything, so the mask is applied unconditionally (top_p is a
     # traced value).
     cumsum = jnp.cumsum(probs, axis=-1)
-    keep = (cumsum - probs) < top_p
+    keep = ((cumsum - probs) < top_p) | (top_p >= 1.0)
     probs = jnp.where(keep, probs, 0.0)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     return probs, top_ids
