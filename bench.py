@@ -1,0 +1,96 @@
+"""Benchmark: Q4_0 BioGPT-347M decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "q4_0_decode_tokens_per_sec", "value": N, "unit": "tokens/s",
+   "vs_baseline": N / 125.0, ...}
+
+Baseline anchor: the reference's Q4_0 decode at 8 ms/token on M1 Pro
+(BASELINE.md) = 125 tokens/s; the north star is >= 10x that on one chip.
+
+Weights are random in real Q4_0 plane layout (no checkpoint is available in
+this offline environment) — decode throughput is weight-value-independent.
+Extra diagnostic metrics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from biogpt_tpu.config import BioGptConfig
+from biogpt_tpu.modelio.synthetic import make_random_quantized_params
+from biogpt_tpu.models.biogpt import forward
+from biogpt_tpu.quant.codecs import GGML_TYPE_Q4_0
+from biogpt_tpu.runtime.cache import init_cache
+from biogpt_tpu.runtime.sampling import greedy
+
+BASELINE_TOKENS_PER_SEC = 125.0  # 8 ms/token, reference README.md:56
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    config = BioGptConfig()
+    log(f"devices: {jax.devices()}")
+    log("building Q4_0 params (random planes, real layout)...")
+    params = jax.device_put(
+        make_random_quantized_params(config, GGML_TYPE_Q4_0, seed=0))
+
+    def step(params, tok, cache, past):
+        logits, cache = forward(params, tok, cache, past, config,
+                                compute_dtype=jnp.bfloat16)
+        return greedy(logits)[:, None], cache
+
+    jit_step = jax.jit(step, donate_argnames=("cache",))
+
+    cache = init_cache(config, batch=1, max_len=config.n_positions,
+                       dtype=jnp.float16)
+
+    # prefill a short prompt region by decoding a few warmup tokens
+    tok = jnp.full((1, 1), 17, jnp.int32)
+    log("compiling decode step...")
+    t0 = time.perf_counter()
+    tok, cache = jit_step(params, tok, cache, jnp.int32(0))
+    jax.block_until_ready(tok)
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    warmup = 16
+    past = 1
+    for _ in range(warmup):
+        tok, cache = jit_step(params, tok, cache, jnp.int32(past))
+        past += 1
+    jax.block_until_ready(tok)
+
+    n_steps = 256
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        tok, cache = jit_step(params, tok, cache, jnp.int32(past))
+        past += 1
+    jax.block_until_ready(tok)
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = n_steps / dt
+    ms_per_token = dt / n_steps * 1e3
+    log(f"decode: {tokens_per_sec:.1f} tokens/s ({ms_per_token:.3f} ms/token) "
+        f"over {n_steps} steps at past~{past}")
+
+    print(json.dumps({
+        "metric": "q4_0_decode_tokens_per_sec",
+        "value": round(tokens_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
+        "ms_per_token": round(ms_per_token, 4),
+        "device": str(jax.devices()[0]),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

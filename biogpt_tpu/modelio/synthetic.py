@@ -75,6 +75,56 @@ def make_state_dict(config: BioGptConfig, seed: int = 0, scale: float = 0.02) ->
     return sd
 
 
+def make_random_quantized_params(
+    config: BioGptConfig, qtype: int, seed: int = 0
+) -> dict:
+    """Random params with quantized weights built directly in plane layout.
+
+    Skips the codec (instant even at 347M scale) — for benchmarks and
+    compile checks where weight *values* don't matter but layouts, dtypes,
+    and byte volumes must be exactly those of a real quantized model.
+    """
+    from ..quant.codecs import QK
+    from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
+
+    rng = np.random.RandomState(seed)
+    lo = -LEVEL_OFFSET[qtype]
+    hi = {2: 15, 3: 15, 6: 31, 7: 31, 8: 127}[qtype] + lo  # qtype codes, see codecs
+
+    def qt(d_out: int, d_in: int, lookup: bool = False) -> QuantizedTensor:
+        shape = (d_out, d_in) if lookup else (d_in, d_out)
+        sshape = ((d_out, d_in // QK) if lookup else (d_in // QK, d_out))
+        levels = rng.randint(lo, hi + 1, size=shape).astype(np.int8)
+        scales = (rng.uniform(0.005, 0.02, size=sshape)).astype(np.float16)
+        mins = None
+        if qtype in (3, 7):  # Q4_1 / Q5_1 carry block minima
+            mins = (-rng.uniform(0.05, 0.2, size=sshape)).astype(np.float16)
+        return QuantizedTensor(levels=levels, scales=scales, mins=mins, qtype=qtype)
+
+    def dense(*shape):
+        return (rng.randn(*shape) * 0.02).astype(np.float32)
+
+    d, ff, v = config.d_model, config.d_ff, config.n_vocab
+    params = {
+        "embed_tokens": qt(v, d, lookup=True),
+        "embed_positions": dense(config.n_positions + config.pos_offset, d),
+        "final_ln": {"w": np.ones(d, np.float32), "b": np.zeros(d, np.float32)},
+        "lm_head": qt(v, d),
+        "layers": [],
+    }
+    for _ in range(config.n_layer):
+        layer = {
+            "ln0": {"w": np.ones(d, np.float32), "b": np.zeros(d, np.float32)},
+            "ln1": {"w": np.ones(d, np.float32), "b": np.zeros(d, np.float32)},
+            "fc1": {"w": qt(ff, d), "b": dense(ff)},
+            "fc2": {"w": qt(d, ff), "b": dense(d)},
+        }
+        for name in ("q", "k", "v", "o"):
+            layer[name] = {"w": qt(d, d), "b": dense(d)}
+        params["layers"].append(layer)
+    return params
+
+
 def write_synthetic_model(
     path: str | Path,
     config: BioGptConfig | None = None,

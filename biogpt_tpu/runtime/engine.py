@@ -63,13 +63,19 @@ class Engine:
         causal: bool = True,
         max_seq: Optional[int] = None,
         donate_cache: bool = True,
+        mesh=None,
     ):
         self.config = config
         self.compute_dtype = compute_dtype
         self.cache_dtype = cache_dtype
         self.causal = causal
         self.max_seq = max_seq or config.n_positions
-        self.params = jax.device_put(params)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+            self.params = shard_params(params, mesh)
+        else:
+            self.params = jax.device_put(params)
 
         static = ("config", "compute_dtype", "causal", "logits_mode")
         donate = ("cache",) if donate_cache else ()
@@ -78,9 +84,14 @@ class Engine:
 
     # ------------------------------------------------------------- plumbing
 
-    def new_cache(self, batch: int = 1) -> KVCache:
-        return init_cache(self.config, batch=batch, max_len=self.max_seq,
-                          dtype=self.cache_dtype)
+    def new_cache(self, batch: int = 1, max_len: Optional[int] = None) -> KVCache:
+        cache = init_cache(self.config, batch=batch,
+                           max_len=max_len or self.max_seq,
+                           dtype=self.cache_dtype)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_cache
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     def prefill(self, cache: KVCache, token_ids: List[int] | np.ndarray):
         """Run the prompt through the model. Returns (logits(B,V), cache, n)."""
@@ -179,8 +190,7 @@ class Engine:
         ids = np.asarray(token_ids, dtype=np.int32)
         if ids.ndim == 1:
             ids = ids[None, :]
-        cache = init_cache(self.config, batch=ids.shape[0],
-                           max_len=ids.shape[1], dtype=self.cache_dtype)
+        cache = self.new_cache(batch=ids.shape[0], max_len=ids.shape[1])
         logits, _ = self._step(
             self.params, jnp.asarray(ids), cache, jnp.int32(0), self.config,
             compute_dtype=self.compute_dtype, causal=self.causal,
