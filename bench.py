@@ -27,6 +27,7 @@ from biogpt_tpu.modelio.synthetic import make_random_quantized_params
 from biogpt_tpu.models.biogpt import forward
 from biogpt_tpu.quant.codecs import GGML_TYPE_Q4_0
 from biogpt_tpu.runtime.cache import init_cache
+from biogpt_tpu.runtime.engine import _pack_matmul_weights
 from biogpt_tpu.runtime.sampling import greedy
 
 BASELINE_TOKENS_PER_SEC = 125.0  # 8 ms/token, reference README.md:56
@@ -40,12 +41,17 @@ def main() -> int:
     config = BioGptConfig()
     log(f"devices: {jax.devices()}")
     log("building Q4_0 params (random planes, real layout)...")
-    params = jax.device_put(
-        make_random_quantized_params(config, GGML_TYPE_Q4_0, seed=0))
+    params = make_random_quantized_params(config, GGML_TYPE_Q4_0, seed=0)
+    if os.environ.get("BENCH_PACK_Q4") == "1":   # Pallas packed-kernel path
+        params = _pack_matmul_weights(params)
+    params = jax.device_put(params)
+
+    use_pallas = os.environ.get("BENCH_PACK_Q4") == "1"
 
     def step(params, tok, cache, past):
         logits, cache = forward(params, tok, cache, past, config,
-                                compute_dtype=jnp.bfloat16)
+                                compute_dtype=jnp.bfloat16,
+                                allow_pallas=use_pallas)
         return greedy(logits)[:, None], cache
 
     jit_step = jax.jit(step, donate_argnames=("cache",))

@@ -43,8 +43,10 @@ def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Arr
     return y * w.astype(jnp.float32) + b.astype(jnp.float32)
 
 
-def _project(x, wb, compute_dtype):
-    return matmul(x, wb["w"], compute_dtype=compute_dtype) + wb["b"].astype(jnp.float32)
+def _project(x, wb, compute_dtype, allow_pallas=True):
+    return (matmul(x, wb["w"], compute_dtype=compute_dtype,
+                   allow_pallas=allow_pallas)
+            + wb["b"].astype(jnp.float32))
 
 
 def _attention(
@@ -57,14 +59,15 @@ def _attention(
     compute_dtype,
     causal: bool,
     n_valid: jax.Array,          # scalar int32: real (unpadded) new-token count
+    allow_pallas: bool,
 ) -> Tuple[jax.Array, KVCache]:
     B, N, D = x.shape
     H, Dk = config.n_head, config.d_kv
     scaling = 1.0 / math.sqrt(Dk)
 
-    q = (_project(x, layer_params["q"], compute_dtype) * scaling)
-    k = _project(x, layer_params["k"], compute_dtype)
-    v = _project(x, layer_params["v"], compute_dtype)
+    q = (_project(x, layer_params["q"], compute_dtype, allow_pallas) * scaling)
+    k = _project(x, layer_params["k"], compute_dtype, allow_pallas)
+    v = _project(x, layer_params["v"], compute_dtype, allow_pallas)
     q = q.reshape(B, N, H, Dk)
     k = k.reshape(B, N, H, Dk)
     v = v.reshape(B, N, H, Dk)
@@ -93,7 +96,7 @@ def _attention(
     ctx = jnp.einsum("bhns,bshd->bnhd", attn, v_all,
                      preferred_element_type=jnp.float32, precision=prec)
     ctx = ctx.reshape(B, N, D)
-    out = _project(ctx, layer_params["o"], compute_dtype)
+    out = _project(ctx, layer_params["o"], compute_dtype, allow_pallas)
     return out, cache
 
 
@@ -106,6 +109,7 @@ def forward(
     compute_dtype=jnp.float32,
     causal: bool = True,
     logits_mode: str = "last",   # "last" | "all"
+    allow_pallas: bool = True,
     last_index: Optional[jax.Array] = None,  # for "last": position of the
                                              # real final token (padded prefill)
 ) -> Tuple[jax.Array, KVCache]:
@@ -126,19 +130,21 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h = _layer_norm(x, layer["ln0"]["w"], layer["ln0"]["b"], config.ln_eps)
         attn_out, cache = _attention(
-            layer, h, cache, i, past, config, compute_dtype, causal, n_valid)
+            layer, h, cache, i, past, config, compute_dtype, causal, n_valid,
+            allow_pallas)
         x = x + attn_out
         h = _layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], config.ln_eps)
-        h = _project(h, layer["fc1"], compute_dtype)
+        h = _project(h, layer["fc1"], compute_dtype, allow_pallas)
         h = jax.nn.gelu(h, approximate=False)
-        h = _project(h, layer["fc2"], compute_dtype)
+        h = _project(h, layer["fc2"], compute_dtype, allow_pallas)
         x = x + h
 
     x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"], config.ln_eps)
     if logits_mode == "last":
         idx = jnp.asarray(N - 1 if last_index is None else last_index, jnp.int32)
         x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
-    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype)
+    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
+                    allow_pallas=allow_pallas)
     if logits_mode == "last":
         logits = logits[:, 0, :]
     return logits, cache

@@ -29,13 +29,31 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.codecs import QK
-from ..quant.layouts import QuantizedTensor
+from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
+
+# Pallas kernel usage: "auto" (TPU + supported shapes), True (force,
+# interpret-mode off-TPU), False (XLA paths only).
+_PALLAS_MODE = "auto"
+
+
+def set_pallas_mode(mode) -> None:
+    global _PALLAS_MODE
+    _PALLAS_MODE = mode
+
+
+def _unpack_levels(w: QuantizedTensor) -> jax.Array:
+    """jnp unpack of split-half nibble planes -> centered int8 (d_in, d_out)."""
+    packed = jnp.asarray(w.levels)
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=0) - jnp.int8(LEVEL_OFFSET[w.qtype])
 
 
 def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     """Materialize the dequantized kernel (d_in, d_out). Debug/oracle only."""
+    levels = _unpack_levels(w) if w.packed else jnp.asarray(w.levels)
     scales = jnp.repeat(w.scales.astype(dtype), QK, axis=0)
-    out = w.levels.astype(dtype) * scales
+    out = levels.astype(dtype) * scales
     if w.mins is not None:
         out = out + jnp.repeat(w.mins.astype(dtype), QK, axis=0)
     return out
@@ -54,6 +72,7 @@ def matmul(
     w: Any,
     *,
     compute_dtype: Optional[jnp.dtype] = None,
+    allow_pallas: bool = True,
 ) -> jax.Array:
     """y = x @ w for dense (d_in, d_out) or QuantizedTensor weights.
 
@@ -72,10 +91,27 @@ def matmul(
                        preferred_element_type=jnp.float32,
                        precision=precision_for(cd))
 
+    # Pallas fused dequant+matmul on the decode-side shapes
+    batch_shape = x.shape[:-1]
+    m = 1
+    for b in batch_shape:
+        m *= b
+    if allow_pallas and _PALLAS_MODE is not False:
+        from .pallas_qmatmul import qmatmul_pallas, supports
+
+        on_tpu = jax.default_backend() == "tpu"
+        if supports(w, m) and (on_tpu or _PALLAS_MODE is True):
+            d_in = w.scales.shape[0] * QK
+            y = qmatmul_pallas(x.reshape(m, d_in), w, interpret=not on_tpu)
+            return y.reshape(*batch_shape, y.shape[-1])
+
+    if w.packed:
+        w = QuantizedTensor(levels=_unpack_levels(w), scales=w.scales,
+                            mins=w.mins, qtype=w.qtype, packed=False)
+
     cd = compute_dtype or jnp.float32
     d_in, d_out = w.levels.shape
     nb = d_in // QK
-    batch_shape = x.shape[:-1]
     xb = x.reshape(*batch_shape, nb, QK).astype(cd)
     levels = w.levels.reshape(nb, QK, d_out).astype(cd)
     # per-block partial sums, f32 accumulation on the MXU

@@ -53,12 +53,20 @@ class QuantizedTensor(NamedTuple):
 
     ``levels``/``scales``/``mins`` may be numpy or jax arrays. ``qtype`` is a
     plain int (ggml_type code) — static metadata, not a leaf.
+
+    When ``packed`` is True (4-bit formats only), ``levels`` is uint8 of
+    shape (d_in // 2, d_out) holding two UNCENTERED 4-bit levels per byte in
+    split-half order: byte row i carries level row i in its low nibble and
+    level row i + d_in//2 in its high nibble. Split-half (not interleaved)
+    packing lets a kernel unpack with one concat instead of a row shuffle,
+    and both halves stay 32-row block aligned.
     """
 
-    levels: Any                 # int8 (d_in, d_out)
+    levels: Any                 # int8 (d_in, d_out) | uint8 (d_in//2, d_out) packed
     scales: Any                 # float16 (d_in // QK, d_out)
     mins: Optional[Any]         # float16 (d_in // QK, d_out) or None
     qtype: int
+    packed: bool = False
 
     @property
     def shape(self):
@@ -76,17 +84,18 @@ class QuantizedTensor(NamedTuple):
 # Register as a pytree so QuantizedTensor can live inside params.
 def _qt_flatten(qt: QuantizedTensor):
     if qt.mins is None:
-        return (qt.levels, qt.scales), (qt.qtype, False)
-    return (qt.levels, qt.scales, qt.mins), (qt.qtype, True)
+        return (qt.levels, qt.scales), (qt.qtype, False, qt.packed)
+    return (qt.levels, qt.scales, qt.mins), (qt.qtype, True, qt.packed)
 
 
 def _qt_unflatten(aux, children):
-    qtype, has_mins = aux
+    qtype, has_mins, packed = aux
     if has_mins:
         levels, scales, mins = children
     else:
         (levels, scales), mins = children, None
-    return QuantizedTensor(levels=levels, scales=scales, mins=mins, qtype=qtype)
+    return QuantizedTensor(levels=levels, scales=scales, mins=mins,
+                           qtype=qtype, packed=packed)
 
 
 jax.tree_util.register_pytree_node(QuantizedTensor, _qt_flatten, _qt_unflatten)
@@ -164,8 +173,40 @@ def quantize_to_planes(w_out_in: np.ndarray, qtype: int) -> QuantizedTensor:
     return to_planes(raw, w_out_in.shape, qtype)
 
 
+def pack_nibble_planes(qt: QuantizedTensor) -> QuantizedTensor:
+    """Pack a 4-bit-format plane tensor to two-levels-per-byte (split-half).
+
+    Levels are stored UNCENTERED (0..15); consumers subtract
+    ``LEVEL_OFFSET[qtype]`` after unpacking. No-op for non-4-bit formats.
+    """
+    if qt.packed or qt.qtype not in (GGML_TYPE_Q4_0, GGML_TYPE_Q4_1):
+        return qt
+    levels = np.asarray(qt.levels)
+    d_in = levels.shape[0]
+    if d_in % (2 * QK) != 0:
+        return qt  # halves wouldn't stay block-aligned; keep unpacked
+    half = d_in // 2
+    uncentered = (levels.astype(np.int16) + LEVEL_OFFSET[qt.qtype]).astype(np.uint8)
+    packed = uncentered[:half] | (uncentered[half:] << 4)
+    return QuantizedTensor(levels=packed, scales=qt.scales, mins=qt.mins,
+                           qtype=qt.qtype, packed=True)
+
+
+def unpack_nibble_planes(qt: QuantizedTensor) -> QuantizedTensor:
+    """Inverse of :func:`pack_nibble_planes` (numpy)."""
+    if not qt.packed:
+        return qt
+    packed = np.asarray(qt.levels)
+    lo = (packed & 0x0F).astype(np.int16)
+    hi = ((packed >> 4) & 0x0F).astype(np.int16)
+    levels = (np.concatenate([lo, hi], axis=0) - LEVEL_OFFSET[qt.qtype]).astype(np.int8)
+    return QuantizedTensor(levels=levels, scales=qt.scales, mins=qt.mins,
+                           qtype=qt.qtype, packed=False)
+
+
 def from_planes(qt: QuantizedTensor) -> np.ndarray:
     """Plane layout -> dequantized float32 (d_in, d_out) kernel."""
+    qt = unpack_nibble_planes(qt)
     levels = np.asarray(qt.levels).astype(np.float32)
     scales = np.repeat(np.asarray(qt.scales).astype(np.float32), QK, axis=0)
     w = levels * scales

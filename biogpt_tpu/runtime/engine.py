@@ -35,6 +35,40 @@ def _bucket(n: int, floor: int = 8) -> int:
     return b
 
 
+def _pack_matmul_weights(params: dict) -> dict:
+    """Prepare quantized matmul weights for the Pallas kernel: nibble-pack
+    4-bit formats (halves their HBM traffic at decode) and store scale/min
+    planes as bfloat16 (Mosaic has no f16; the dequantized weight is
+    bf16-rounded for the MXU regardless). Embeddings stay row-major
+    unpacked fp16 (gather path); non-lane-aligned weights (lm_head's odd
+    vocab) stay on the XLA path untouched."""
+    import ml_dtypes
+
+    from ..ops.pallas_qmatmul import supports
+    from ..quant.layouts import QuantizedTensor, pack_nibble_planes
+
+    def maybe_pack(w):
+        if isinstance(w, QuantizedTensor) and not w.packed and supports(w, 1):
+            w = pack_nibble_planes(w)
+            return QuantizedTensor(
+                levels=w.levels,
+                scales=np.asarray(w.scales).astype(ml_dtypes.bfloat16),
+                mins=(np.asarray(w.mins).astype(ml_dtypes.bfloat16)
+                      if w.mins is not None else None),
+                qtype=w.qtype, packed=w.packed,
+            )
+        return w
+
+    out = dict(params)
+    out["lm_head"] = maybe_pack(params["lm_head"])
+    out["layers"] = [
+        {k: ({"w": maybe_pack(v["w"]), "b": v["b"]} if isinstance(v, dict) and "w" in v else v)
+         for k, v in layer.items()}
+        for layer in params["layers"]
+    ]
+    return out
+
+
 @dataclass
 class GenerationResult:
     ids: List[int]
@@ -64,6 +98,7 @@ class Engine:
         max_seq: Optional[int] = None,
         donate_cache: bool = True,
         mesh=None,
+        pack_q4: bool = False,
     ):
         self.config = config
         self.compute_dtype = compute_dtype
@@ -71,13 +106,24 @@ class Engine:
         self.causal = causal
         self.max_seq = max_seq or config.n_positions
         self.mesh = mesh
+        # Under a mesh, GSPMD partitions the XLA ops; the Pallas kernel (and
+        # split-half packed planes) are single-device constructs — skip both.
+        # pack_q4 currently defaults OFF: on-chip measurement has the XLA
+        # block-accumulated einsum path ahead of the first-cut Pallas kernel
+        # (0.65 vs 0.82 ms/token at 347M Q4_0 — the kernel's elementwise
+        # dequant is VPU-bound; see bench notes). Revisit with a
+        # block-structured kernel.
+        self.allow_pallas = mesh is None and pack_q4
+        if pack_q4 and mesh is None:
+            params = _pack_matmul_weights(params)
         if mesh is not None:
             from ..parallel.sharding import shard_params
             self.params = shard_params(params, mesh)
         else:
             self.params = jax.device_put(params)
 
-        static = ("config", "compute_dtype", "causal", "logits_mode")
+        static = ("config", "compute_dtype", "causal", "logits_mode",
+                  "allow_pallas")
         donate = ("cache",) if donate_cache else ()
         self._step = jax.jit(
             forward, static_argnames=static, donate_argnames=donate)
@@ -108,7 +154,7 @@ class Engine:
         buf[:, :n] = ids
         logits, cache = self._step(
             self.params, jnp.asarray(buf), cache, jnp.int32(0), self.config,
-            compute_dtype=self.compute_dtype, causal=self.causal,
+            compute_dtype=self.compute_dtype, causal=self.causal, allow_pallas=self.allow_pallas,
             logits_mode="last", last_index=jnp.int32(n - 1),
         )
         return logits, cache, n
@@ -118,7 +164,7 @@ class Engine:
         tok = jnp.asarray(token, jnp.int32).reshape(1, 1)
         logits, cache = self._step(
             self.params, tok, cache, jnp.asarray(past, jnp.int32), self.config,
-            compute_dtype=self.compute_dtype, causal=self.causal,
+            compute_dtype=self.compute_dtype, causal=self.causal, allow_pallas=self.allow_pallas,
             logits_mode="last",
         )
         return logits, cache
@@ -193,7 +239,7 @@ class Engine:
         cache = self.new_cache(batch=ids.shape[0], max_len=ids.shape[1])
         logits, _ = self._step(
             self.params, jnp.asarray(ids), cache, jnp.int32(0), self.config,
-            compute_dtype=self.compute_dtype, causal=self.causal,
+            compute_dtype=self.compute_dtype, causal=self.causal, allow_pallas=self.allow_pallas,
             logits_mode="all",
         )
         return np.asarray(logits)

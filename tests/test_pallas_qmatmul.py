@@ -1,0 +1,110 @@
+"""Pallas fused dequant-matmul kernel vs the XLA oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from biogpt_tpu.ops import dequantize
+from biogpt_tpu.ops.pallas_qmatmul import qmatmul_pallas, supports
+from biogpt_tpu.quant import codecs
+from biogpt_tpu.quant.layouts import (
+    pack_nibble_planes,
+    quantize_to_planes,
+    unpack_nibble_planes,
+)
+
+ALL_QTYPES = [codecs.GGML_TYPE_Q4_0, codecs.GGML_TYPE_Q4_1,
+              codecs.GGML_TYPE_Q5_0, codecs.GGML_TYPE_Q5_1,
+              codecs.GGML_TYPE_Q8_0]
+
+
+def _qt(qtype, d_out=256, d_in=128, seed=0):
+    rng = np.random.RandomState(seed)
+    w = rng.randn(d_out, d_in).astype(np.float32)
+    return quantize_to_planes(w, qtype)
+
+
+def test_pack_unpack_roundtrip():
+    qt = _qt(codecs.GGML_TYPE_Q4_0)
+    packed = pack_nibble_planes(qt)
+    assert packed.packed and packed.levels.dtype == np.uint8
+    assert packed.levels.shape == (qt.levels.shape[0] // 2, qt.levels.shape[1])
+    back = unpack_nibble_planes(packed)
+    np.testing.assert_array_equal(back.levels, qt.levels)
+
+
+def test_pack_noop_for_non4bit():
+    qt = _qt(codecs.GGML_TYPE_Q8_0)
+    assert pack_nibble_planes(qt) is qt
+
+
+@pytest.mark.parametrize("qtype", ALL_QTYPES)
+@pytest.mark.parametrize("m", [1, 8])
+def test_kernel_matches_oracle_unpacked(qtype, m):
+    qt = _qt(qtype)
+    assert supports(qt, m)
+    rng = np.random.RandomState(1)
+    x = rng.randn(m, 128).astype(np.float32)
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    expect = x.astype(np.float32) @ np.asarray(dequantize(qt))
+    # kernel rounds dequantized weights (and x) to bf16 for the MXU:
+    # elementwise products carry ~2^-8 relative error, accumulated over d_in
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-1)
+    # and a bit-matched oracle: bf16(x) @ bf16(dequant) in f32
+    wb = np.asarray(dequantize(qt)).astype(jnp.bfloat16).astype(np.float32)
+    xb = x.astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_allclose(got, xb @ wb, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q4_0, codecs.GGML_TYPE_Q4_1])
+def test_kernel_matches_oracle_packed(qtype):
+    qt = pack_nibble_planes(_qt(qtype, d_out=512, d_in=256, seed=2))
+    assert qt.packed
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 256).astype(np.float32)
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
+    expect = x @ np.asarray(dequantize(qt))
+    np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-1)
+
+
+def test_supports_rejects_unaligned():
+    qt = _qt(codecs.GGML_TYPE_Q4_0, d_out=96)   # not lane-aligned
+    assert not supports(qt, 1)
+    qt2 = _qt(codecs.GGML_TYPE_Q4_0)
+    assert not supports(qt2, 64)                 # prefill-sized M
+
+
+def test_matmul_dispatch_packed_xla_fallback():
+    """On CPU without forcing pallas, packed tensors go through the jnp
+    unpack + block-einsum path and still match the oracle."""
+    from biogpt_tpu.ops import matmul
+
+    qt = pack_nibble_planes(_qt(codecs.GGML_TYPE_Q4_0, d_out=512, d_in=256))
+    rng = np.random.RandomState(4)
+    x = rng.randn(3, 256).astype(np.float32)
+    got = np.asarray(matmul(jnp.asarray(x), qt))
+    expect = x @ np.asarray(dequantize(qt))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_packs_q4_weights():
+    from biogpt_tpu.config import BioGptConfig
+    from biogpt_tpu.modelio.checkpoint import params_from_state_dict
+    from biogpt_tpu.modelio.synthetic import make_state_dict
+    from biogpt_tpu.runtime.engine import Engine
+
+    config = BioGptConfig.tiny(d_model=128, d_ff=256, n_vocab=256)
+    sd = make_state_dict(config, seed=5)
+    params = params_from_state_dict(sd, config, qtype=codecs.GGML_TYPE_Q4_0)
+    engine = Engine(config, params, compute_dtype=jnp.float32, pack_q4=True)
+    assert engine.params["layers"][0]["q"]["w"].packed
+    assert engine.params["lm_head"].packed  # 256 vocab is lane-aligned
+    assert not engine.params["embed_tokens"].packed  # gather path stays flat
+
+    # packed engine scores close to unpacked (packing converts scale planes
+    # to bf16 for Mosaic, ~2^-8 relative on the scales)
+    plain = Engine(config, params, compute_dtype=jnp.float32, pack_q4=False)
+    ids = np.array([[2, 5, 9, 12]], dtype=np.int32)
+    a, b = engine.score(ids), plain.score(ids)
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
