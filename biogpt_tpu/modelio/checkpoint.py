@@ -9,13 +9,18 @@ structured params pytree the JAX model consumes:
     "embed_positions": (n_positions + 2, d_model) float32 (always dense)
     "final_ln":        {"w": (d_model,), "b": (d_model,)}
     "lm_head":         (d_model, n_vocab) kernel | QuantizedTensor (planes)
-    "layers": [ per layer:
-       {"ln0": {w,b}, "ln1": {w,b},
-        "q"|"k"|"v"|"o":  {"w": (d_model, d_model) kernel | QT, "b": (d_model,)},
-        "fc1": {"w": (d_model, d_ff) | QT, "b": (d_ff,)},
-        "fc2": {"w": (d_ff, d_model) | QT, "b": (d_model,)}}
-    ]
+    "layers":          one dict of LAYER-STACKED tensors (leading axis L):
+       {"ln0": {w,b}, "ln1": {w,b},               (L, d_model)
+        "q"|"k"|"v"|"o":  {"w": (L, d_model, d_model) kernel | QT,
+                           "b": (L, d_model)},
+        "fc1": {"w": (L, d_model, d_ff) | QT, "b": (L, d_ff)},
+        "fc2": {"w": (L, d_ff, d_model) | QT, "b": (L, d_model)}}
   }
+
+Layers are stacked (not a list of 24 dicts) so the jitted step takes ~30
+arrays instead of ~450 — per-call dispatch overhead scales with leaf count
+and dominated decode latency before stacking. The forward pass slices each
+layer with a static index (free under jit).
 
 Matmul weights are stored in kernel orientation (d_in, d_out) — transposed
 from torch — so the forward pass contracts with ``x @ w``. Quantized weights
@@ -28,6 +33,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict, Tuple
 
+import jax
 import numpy as np
 
 from ..config import BioGptConfig
@@ -91,7 +97,18 @@ def params_from_records(records: Dict[str, TensorRecord], config: BioGptConfig) 
                 "b": _dense(rec(f"{p}self_attn.{hf}.bias")),
             }
         params["layers"].append(layer)
+    params["layers"] = stack_layers(params["layers"])
     return params
+
+
+def stack_layers(layer_list: list) -> dict:
+    """List of per-layer dicts -> one dict of (L, ...) stacked tensors."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *layer_list)
+
+
+def layer_slice(layers: dict, i):
+    """Per-layer view of the stacked layer dict (free slicing under jit)."""
+    return jax.tree.map(lambda a: a[i], layers)
 
 
 def load_params(path: str | Path):

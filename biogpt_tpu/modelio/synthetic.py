@@ -122,6 +122,8 @@ def make_random_quantized_params(
         for name in ("q", "k", "v", "o"):
             layer[name] = {"w": qt(d, d), "b": dense(d)}
         params["layers"].append(layer)
+    from .checkpoint import stack_layers
+    params["layers"] = stack_layers(params["layers"])
     return params
 
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BioGptConfig
+from ..modelio.checkpoint import layer_slice
 from ..ops import matmul, embedding_lookup
 from ..ops.qmatmul import precision_for
 from ..runtime.cache import KVCache, update_layer
@@ -127,7 +128,8 @@ def forward(
     x = emb + pos_emb  # (B, N, D) float32
 
     n_valid = jnp.asarray(N if last_index is None else last_index + 1, jnp.int32)
-    for i, layer in enumerate(params["layers"]):
+    for i in range(config.n_layer):
+        layer = layer_slice(params["layers"], i)
         h = _layer_norm(x, layer["ln0"]["w"], layer["ln0"]["b"], config.ln_eps)
         attn_out, cache = _attention(
             layer, h, cache, i, past, config, compute_dtype, causal, n_valid,

@@ -39,28 +39,67 @@ _LANES = 128
 
 
 def _kernel(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int, packed: bool):
-    """One d_out tile: dequantize the weight tile, matmul, write out."""
+    """One d_out tile, block-structured to stay off the VPU critical path.
+
+    Naive fused dequant (scale every weight element, then matmul) is
+    VPU-bound: d_in*T multiplies per tile at ~1 elem/lane/cycle loses to
+    the HBM DMA. Instead:
+
+      X'[n, k] = x[k] if k is in block n else 0        (nb, d_in) "X-prime"
+      partial  = X' @ levels_tile                      ONE MXU matmul; free
+                                                       at M=1 (same pass
+                                                       count as a 1-row dot)
+      out[o]   = sum_n (partial[n,o] - offset*xsum[n]) * d[n,o]
+                 [+ xsum[n] * m[n,o]]                  VPU on (nb, T) only
+
+    The zero-point offset folds into the epilogue via the per-block
+    activation sums, so the only per-element work is the nibble unpack /
+    int8->bf16 cast, done in the byte domain.
+    """
+    M = x_ref.shape[0]
+    d_in = x_ref.shape[1]
+    nb = d_in // QK
+
     if packed:
-        # Mosaic has no uint8->f32 cast; widen through int32.
-        u = lv_ref[:].astype(jnp.int32)                # (d_in//2, T)
-        lo = (u & 0x0F).astype(jnp.float32)
-        hi = ((u >> 4) & 0x0F).astype(jnp.float32)
-        lv = jnp.concatenate([lo, hi], axis=0)         # (d_in, T)
+        # SWAR unpack: Mosaic has no u8 shifts, so reinterpret 4 bytes as
+        # one u32 lane, mask/shift there, and reinterpret back — 4 nibbles
+        # per op instead of per-element widening.
+        u = lv_ref[:]                                   # (d_in//2, T) uint8
+        v = pltpu.bitcast(u, jnp.uint32)                # (d_in//2, T//4)
+        lo32 = v & jnp.uint32(0x0F0F0F0F)
+        hi32 = (v >> 4) & jnp.uint32(0x0F0F0F0F)
+        lo = pltpu.bitcast(lo32, jnp.uint8)             # (d_in//2, T)
+        hi = pltpu.bitcast(hi32, jnp.uint8)
+        lv = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
+                           jnp.int8).astype(jnp.bfloat16)
     else:
-        lv = lv_ref[:].astype(jnp.float32)             # (d_in, T)
-    if offset:
-        lv = lv - float(offset)
+        lv = lv_ref[:].astype(jnp.bfloat16)             # (d_in, T)
 
-    # NB: pltpu.repeat tiles the whole array; jnp.repeat (broadcast+reshape)
-    # gives the element-wise block expansion needed here.
-    scales = jnp.repeat(sc_ref[:].astype(jnp.float32), QK, axis=0)
-    w = lv * scales
-    if mn_ref is not None:
-        w = w + jnp.repeat(mn_ref[:].astype(jnp.float32), QK, axis=0)
+    scales = sc_ref[:].astype(jnp.float32)              # (nb, T)
+    mins = mn_ref[:].astype(jnp.float32) if mn_ref is not None else None
 
-    out_ref[:] = jnp.dot(
-        x_ref[:], w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-    )
+    # 0/1 block mask built arithmetically — Mosaic mishandles relayout of
+    # wide i1 vectors, so avoid boolean intermediates entirely.
+    block_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 1) // QK
+    block_row = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 0)
+    offblock = jnp.minimum(jnp.abs(block_of_k - block_row), 1)
+    mask = (1 - offblock).astype(jnp.bfloat16)          # (nb, d_in) 0/1
+
+    for m in range(M):
+        x_row = x_ref[m, :][None, :]                    # (1, d_in) bf16
+        xp = x_row * mask
+        partial = jnp.dot(xp, lv, preferred_element_type=jnp.float32)
+        if offset or mins is not None:
+            xsum = jnp.sum(
+                xp.astype(jnp.float32), axis=1, keepdims=True)  # (nb, 1)
+            if offset:
+                partial = partial - float(offset) * xsum
+            acc = partial * scales
+            if mins is not None:
+                acc = acc + xsum * mins
+        else:
+            acc = partial * scales
+        out_ref[m, :] = jnp.sum(acc, axis=0)
 
 
 def _pick_tile(d_out: int) -> int:
@@ -72,20 +111,21 @@ def _pick_tile(d_out: int) -> int:
 
 def supports(qt: QuantizedTensor, m: int) -> bool:
     """Whether the Pallas path applies: lane-aligned d_out, block-aligned
-    d_in, and a small (decode-side) M."""
+    d_in, and a small (decode-side) M. Works on per-layer slices and on
+    layer-stacked planes (leading axes ignored)."""
     d_out = qt.scales.shape[-1]
-    d_in = qt.scales.shape[0] * QK
+    d_in = qt.scales.shape[-2] * QK
     return (
         d_out % _LANES == 0
         and d_in % (2 * QK) == 0
-        and m <= 32
+        and m <= 8  # kernel unrolls over rows; decode-side M only
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmatmul_pallas(x: jax.Array, qt: QuantizedTensor, interpret: bool = False) -> jax.Array:
     """y = x @ dequant(qt). x: (M, d_in) any float dtype -> (M, d_out) f32."""
-    d_in = qt.scales.shape[0] * QK
+    d_in = qt.scales.shape[-2] * QK
     d_out = qt.scales.shape[-1]
     M = x.shape[0]
     T = _pick_tile(d_out)

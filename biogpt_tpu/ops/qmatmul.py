@@ -101,7 +101,7 @@ def matmul(
 
         on_tpu = jax.default_backend() == "tpu"
         if supports(w, m) and (on_tpu or _PALLAS_MODE is True):
-            d_in = w.scales.shape[0] * QK
+            d_in = w.scales.shape[-2] * QK
             y = qmatmul_pallas(x.reshape(m, d_in), w, interpret=not on_tpu)
             return y.reshape(*batch_shape, y.shape[-1])
 

@@ -49,19 +49,25 @@ REP = P()                   # replicated
 
 
 def param_pspecs(params: dict) -> dict:
-    """PartitionSpec pytree mirroring ``params`` (structure-matched)."""
+    """PartitionSpec pytree mirroring ``params``.
 
-    def layer_specs(_layer: dict) -> dict:
-        return {
-            "ln0": {"w": REP, "b": REP},
-            "ln1": {"w": REP, "b": REP},
-            "q": {"w": COL, "b": P(MODEL_AXIS)},
-            "k": {"w": COL, "b": P(MODEL_AXIS)},
-            "v": {"w": COL, "b": P(MODEL_AXIS)},
-            "o": {"w": ROW, "b": REP},
-            "fc1": {"w": COL, "b": P(MODEL_AXIS)},
-            "fc2": {"w": ROW, "b": REP},
-        }
+    Layer tensors are layer-stacked with a leading L axis, so their specs
+    carry a leading None (layers replicate over neither axis — a future
+    pipeline-parallel axis would shard exactly that dim).
+    """
+    COL3 = P(None, None, MODEL_AXIS)
+    ROW3 = P(None, MODEL_AXIS, None)
+    BIAS3 = P(None, MODEL_AXIS)
+    layer_specs = {
+        "ln0": {"w": REP, "b": REP},
+        "ln1": {"w": REP, "b": REP},
+        "q": {"w": COL3, "b": BIAS3},
+        "k": {"w": COL3, "b": BIAS3},
+        "v": {"w": COL3, "b": BIAS3},
+        "o": {"w": ROW3, "b": REP},
+        "fc1": {"w": COL3, "b": BIAS3},
+        "fc2": {"w": ROW3, "b": REP},
+    }
 
     return {
         # Lookup tables replicate: a vocab-sharded gather would need an
@@ -71,7 +77,7 @@ def param_pspecs(params: dict) -> dict:
         "embed_positions": REP,
         "final_ln": {"w": REP, "b": REP},
         "lm_head": COL,
-        "layers": [layer_specs(l) for l in params["layers"]],
+        "layers": layer_specs,
     }
 
 

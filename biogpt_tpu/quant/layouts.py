@@ -182,12 +182,12 @@ def pack_nibble_planes(qt: QuantizedTensor) -> QuantizedTensor:
     if qt.packed or qt.qtype not in (GGML_TYPE_Q4_0, GGML_TYPE_Q4_1):
         return qt
     levels = np.asarray(qt.levels)
-    d_in = levels.shape[0]
+    d_in = levels.shape[-2]  # supports layer-stacked (L, d_in, d_out) planes
     if d_in % (2 * QK) != 0:
         return qt  # halves wouldn't stay block-aligned; keep unpacked
     half = d_in // 2
     uncentered = (levels.astype(np.int16) + LEVEL_OFFSET[qt.qtype]).astype(np.uint8)
-    packed = uncentered[:half] | (uncentered[half:] << 4)
+    packed = uncentered[..., :half, :] | (uncentered[..., half:, :] << 4)
     return QuantizedTensor(levels=packed, scales=qt.scales, mins=qt.mins,
                            qtype=qt.qtype, packed=True)
 
@@ -199,7 +199,7 @@ def unpack_nibble_planes(qt: QuantizedTensor) -> QuantizedTensor:
     packed = np.asarray(qt.levels)
     lo = (packed & 0x0F).astype(np.int16)
     hi = ((packed >> 4) & 0x0F).astype(np.int16)
-    levels = (np.concatenate([lo, hi], axis=0) - LEVEL_OFFSET[qt.qtype]).astype(np.int8)
+    levels = (np.concatenate([lo, hi], axis=-2) - LEVEL_OFFSET[qt.qtype]).astype(np.int8)
     return QuantizedTensor(levels=levels, scales=qt.scales, mins=qt.mins,
                            qtype=qt.qtype, packed=False)
 

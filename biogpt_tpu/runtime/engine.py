@@ -61,11 +61,12 @@ def _pack_matmul_weights(params: dict) -> dict:
 
     out = dict(params)
     out["lm_head"] = maybe_pack(params["lm_head"])
-    out["layers"] = [
-        {k: ({"w": maybe_pack(v["w"]), "b": v["b"]} if isinstance(v, dict) and "w" in v else v)
-         for k, v in layer.items()}
-        for layer in params["layers"]
-    ]
+    out["layers"] = {
+        k: ({"w": maybe_pack(v["w"]), "b": v["b"]}
+            if isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)
+            else v)
+        for k, v in params["layers"].items()
+    }
     return out
 
 

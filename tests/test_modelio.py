@@ -124,13 +124,13 @@ def test_load_params_dense(tmp_path):
     np.testing.assert_array_equal(params["embed_tokens"], sd["biogpt.embed_tokens.weight"])
     # matmul weights are kernel-oriented (transposed)
     np.testing.assert_array_equal(
-        params["layers"][0]["fc1"]["w"],
+        params["layers"]["fc1"]["w"][0],
         sd["biogpt.layers.0.fc1.weight"].T,
     )
     np.testing.assert_array_equal(
         params["lm_head"], sd["output_projection.weight"].T
     )
-    assert len(params["layers"]) == config.n_layer
+    assert params["layers"]["fc1"]["w"].shape[0] == config.n_layer
 
 
 def test_load_params_quantized(tmp_path):
@@ -140,16 +140,18 @@ def test_load_params_quantized(tmp_path):
     quantize_file(str(src), str(dst), "q4_0", verbose=False)
     _, _, _, params = load_params(dst)
 
-    qt = params["layers"][0]["q"]["w"]
+    qt = params["layers"]["q"]["w"]
     assert isinstance(qt, QuantizedTensor)
-    assert qt.levels.shape == (config.d_model, config.d_model)
+    assert qt.levels.shape == (config.n_layer, config.d_model, config.d_model)
 
     # plane dequant == codec dequant of the file bytes
     sd = make_state_dict(config, seed=5)
     w = sd["biogpt.layers.0.self_attn.q_proj.weight"]
     raw = codecs.quantize_rows(w, codecs.GGML_TYPE_Q4_0)
     expect = codecs.dequantize_rows(raw, w.shape, codecs.GGML_TYPE_Q4_0)
-    np.testing.assert_array_equal(from_planes(qt).T, expect)
+    from biogpt_tpu.modelio.checkpoint import layer_slice
+    qt0 = layer_slice(qt, 0)
+    np.testing.assert_array_equal(from_planes(qt0).T, expect)
 
     # embeddings stay row-major lookup planes
     emb = params["embed_tokens"]
@@ -171,8 +173,8 @@ def test_params_from_state_dict_matches_file_path(tmp_path):
     _, _, _, params_file = load_params(dst)
 
     np.testing.assert_array_equal(
-        np.asarray(params_mem["layers"][1]["fc2"]["w"].levels),
-        np.asarray(params_file["layers"][1]["fc2"]["w"].levels),
+        np.asarray(params_mem["layers"]["fc2"]["w"].levels[1]),
+        np.asarray(params_file["layers"]["fc2"]["w"].levels[1]),
     )
     np.testing.assert_array_equal(
         np.asarray(params_mem["embed_tokens"].scales),

@@ -47,13 +47,18 @@ def test_kernel_matches_oracle_unpacked(qtype, m):
     x = rng.randn(m, 128).astype(np.float32)
     got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
     expect = x.astype(np.float32) @ np.asarray(dequantize(qt))
-    # kernel rounds dequantized weights (and x) to bf16 for the MXU:
-    # elementwise products carry ~2^-8 relative error, accumulated over d_in
+    # kernel feeds bf16 levels/activations to the MXU and applies f32
+    # scales to per-block partial sums — same structure as the XLA
+    # block-accum path, so it should match that closely and the f32
+    # oracle within bf16 accumulation noise
     np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-1)
-    # and a bit-matched oracle: bf16(x) @ bf16(dequant) in f32
-    wb = np.asarray(dequantize(qt)).astype(jnp.bfloat16).astype(np.float32)
-    xb = x.astype(jnp.bfloat16).astype(np.float32)
-    np.testing.assert_allclose(got, xb @ wb, rtol=1e-3, atol=1e-3)
+    from biogpt_tpu.ops import matmul as xla_matmul
+    ref = np.asarray(xla_matmul(jnp.asarray(x), qt,
+                                compute_dtype=jnp.bfloat16,
+                                allow_pallas=False))
+    # (interpret mode upcasts differently than the TPU MXU, so this is a
+    # structural check, not a bit match)
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=8e-2)
 
 
 @pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q4_0, codecs.GGML_TYPE_Q4_1])
@@ -97,7 +102,7 @@ def test_engine_packs_q4_weights():
     sd = make_state_dict(config, seed=5)
     params = params_from_state_dict(sd, config, qtype=codecs.GGML_TYPE_Q4_0)
     engine = Engine(config, params, compute_dtype=jnp.float32, pack_q4=True)
-    assert engine.params["layers"][0]["q"]["w"].packed
+    assert engine.params["layers"]["q"]["w"].packed
     assert engine.params["lm_head"].packed  # 256 vocab is lane-aligned
     assert not engine.params["embed_tokens"].packed  # gather path stays flat
 

@@ -70,26 +70,28 @@ def test_sharded_generation_matches(tiny_params):
 def test_weights_actually_sharded(tiny_params):
     mesh = make_mesh(data=1, model=4)
     sharded = shard_params(tiny_params, mesh)
-    w = sharded["layers"][0]["fc1"]["w"]   # column-parallel (d_model, d_ff)
+    L = TINY.n_layer
+    w = sharded["layers"]["fc1"]["w"]   # column-parallel (L, d_model, d_ff)
     assert isinstance(w.sharding, NamedSharding)
     shard_shapes = {s.data.shape for s in w.addressable_shards}
-    assert shard_shapes == {(TINY.d_model, TINY.d_ff // 4)}
-    w2 = sharded["layers"][0]["o"]["w"]    # row-parallel
+    assert shard_shapes == {(L, TINY.d_model, TINY.d_ff // 4)}
+    w2 = sharded["layers"]["o"]["w"]    # row-parallel
     assert {s.data.shape for s in w2.addressable_shards} == \
-        {(TINY.d_model // 4, TINY.d_model)}
+        {(L, TINY.d_model // 4, TINY.d_model)}
 
 
 def test_quantized_planes_shard_consistently(tiny_params_q4):
     mesh = make_mesh(data=1, model=4)
     sharded = shard_params(tiny_params_q4, mesh)
-    qt = sharded["layers"][0]["fc2"]["w"]   # row-parallel: d_ff sharded
+    L = TINY.n_layer
+    qt = sharded["layers"]["fc2"]["w"]   # row-parallel: d_ff sharded
     lv_shapes = {s.data.shape for s in qt.levels.addressable_shards}
     sc_shapes = {s.data.shape for s in qt.scales.addressable_shards}
-    assert lv_shapes == {(TINY.d_ff // 4, TINY.d_model)}
-    assert sc_shapes == {(TINY.d_ff // 32 // 4, TINY.d_model)}
+    assert lv_shapes == {(L, TINY.d_ff // 4, TINY.d_model)}
+    assert sc_shapes == {(L, TINY.d_ff // 32 // 4, TINY.d_model)}
 
 
 def test_spec_tree_matches_param_structure(tiny_params):
     specs = param_pspecs(tiny_params)
     assert set(specs) == set(tiny_params)
-    assert len(specs["layers"]) == len(tiny_params["layers"])
+    assert set(specs["layers"]) == set(tiny_params["layers"])
