@@ -52,7 +52,9 @@ def main() -> int:
         logits, cache = forward(params, tok, cache, past, config,
                                 compute_dtype=jnp.bfloat16,
                                 allow_pallas=use_pallas)
-        return greedy(logits)[:, None], cache
+        # past advances on device: per-step host->device scalar uploads cost
+        # several times the model step itself
+        return greedy(logits)[:, None], cache, past + 1
 
     jit_step = jax.jit(step, donate_argnames=("cache",))
 
@@ -61,24 +63,22 @@ def main() -> int:
 
     # prefill a short prompt region by decoding a few warmup tokens
     tok = jnp.full((1, 1), 17, jnp.int32)
+    past = jnp.int32(0)
     log("compiling decode step...")
     t0 = time.perf_counter()
-    tok, cache = jit_step(params, tok, cache, jnp.int32(0))
+    tok, cache, past = jit_step(params, tok, cache, past)
     jax.block_until_ready(tok)
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
     warmup = 16
-    past = 1
     for _ in range(warmup):
-        tok, cache = jit_step(params, tok, cache, jnp.int32(past))
-        past += 1
+        tok, cache, past = jit_step(params, tok, cache, past)
     jax.block_until_ready(tok)
 
     n_steps = 256
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        tok, cache = jit_step(params, tok, cache, jnp.int32(past))
-        past += 1
+        tok, cache, past = jit_step(params, tok, cache, past)
     jax.block_until_ready(tok)
     dt = time.perf_counter() - t0
 

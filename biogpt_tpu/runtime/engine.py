@@ -129,6 +129,28 @@ class Engine:
         self._step = jax.jit(
             forward, static_argnames=static, donate_argnames=donate)
 
+        def decode_and_sample(params, tok, cache, past, rng, temp, top_p,
+                              out_buf, out_ix, *, top_k: int, use_greedy: bool):
+            logits, cache = forward(
+                params, tok, cache, past, self.config,
+                compute_dtype=self.compute_dtype, causal=self.causal,
+                allow_pallas=self.allow_pallas, logits_mode="last")
+            if use_greedy:
+                nxt = greedy(logits)
+            else:
+                rng, sub = jax.random.split(rng)
+                nxt = sample_top_k_top_p(sub, logits, top_k=top_k,
+                                         top_p=top_p, temp=temp)
+            # Sampled tokens accumulate on device (host fetches the buffer
+            # once per chunk) and the counters advance on device — per-step
+            # host<->device scalar traffic costs ~4x the whole model step.
+            out_buf = jax.lax.dynamic_update_slice(out_buf, nxt, (out_ix,))
+            return nxt[:, None], cache, rng, out_buf, past + 1, out_ix + 1
+
+        self._decode_sample = jax.jit(
+            decode_and_sample, static_argnames=("top_k", "use_greedy"),
+            donate_argnames=donate + (("out_buf",) if donate_cache else ()))
+
     # ------------------------------------------------------------- plumbing
 
     def new_cache(self, batch: int = 1, max_len: Optional[int] = None) -> KVCache:
@@ -178,13 +200,30 @@ class Engine:
         gen: GenerationParams | None = None,
         stream_cb: Optional[Callable[[int], None]] = None,
     ) -> GenerationResult:
-        """Prefill + sample/decode loop (host-driven, streamable)."""
+        """Prefill + fused decode/sample loop.
+
+        Decode steps are enqueued asynchronously with the sampled token fed
+        device-to-device; the host syncs once per chunk (per token when
+        streaming) to check EOS — so steady-state throughput is set by the
+        compiled step, not host round-trips.
+        """
         gen = gen or GenerationParams()
         seed = gen.seed if gen.seed >= 0 else int(time.time())
         rng = jax.random.PRNGKey(seed)
+        use_greedy = gen.temp <= 0
+        temp = jnp.float32(max(gen.temp, 1e-8))
+        top_p = jnp.float32(gen.top_p)
+        # Speculative chunking: enqueue `chunk` fused steps, then fetch the
+        # device-side token buffer in ONE device->host transfer to emit
+        # tokens and check EOS. If EOS landed mid-chunk the extra steps are
+        # discarded (the cache dies with the generation, so over-advancing
+        # it is harmless). Streaming fetches every token for latency.
+        chunk = 1 if stream_cb is not None else 32
 
         n_predict = min(gen.n_predict, self.config.n_positions - len(prompt_ids))
         ids = list(prompt_ids)
+        if n_predict <= 0:
+            return GenerationResult(ids=ids, prompt_len=len(prompt_ids))
 
         t0 = time.perf_counter()
         cache = self.new_cache(batch=1)
@@ -192,30 +231,50 @@ class Engine:
         jax.block_until_ready(logits)
         t_prefill = time.perf_counter() - t0
 
-        t_sample = 0.0
-        t_decode = 0.0
-        for _ in range(n_predict):
-            ts = time.perf_counter()
-            if gen.temp <= 0:
-                tok = greedy(logits)
-            else:
-                rng, sub = jax.random.split(rng)
-                tok = sample_top_k_top_p(
-                    sub, logits, top_k=gen.top_k, top_p=gen.top_p, temp=gen.temp)
-            tok_host = int(jax.block_until_ready(tok)[0])
-            t_sample += time.perf_counter() - ts
+        # first sampled token comes from the prefill logits
+        td0 = time.perf_counter()
+        if use_greedy:
+            tok = greedy(logits)[:, None]
+        else:
+            rng, sub = jax.random.split(rng)
+            tok = sample_top_k_top_p(sub, logits, top_k=gen.top_k,
+                                     top_p=gen.top_p, temp=gen.temp)[:, None]
 
-            ids.append(tok_host)
-            if stream_cb is not None:
-                stream_cb(tok_host)
-            if gen.stop_at_eos and tok_host == gen.eos_token_id:
-                break
+        stopped = False
+        emitted = 0
+        out_buf = jnp.zeros((max(n_predict, 1),), jnp.int32)
+        out_buf = jax.lax.dynamic_update_slice(out_buf, tok[0], (0,))
+        queued = 1   # tokens materialized in out_buf (incl. the prefill one)
 
-            td = time.perf_counter()
-            logits, cache = self.decode_step(cache, tok_host, past)
-            jax.block_until_ready(logits)
-            past += 1
-            t_decode += time.perf_counter() - td
+        def drain():
+            """One transfer: emit all queued tokens, detect EOS."""
+            nonlocal stopped, emitted
+            vals = np.asarray(jax.block_until_ready(out_buf))
+            while emitted < queued and not stopped:
+                tid = int(vals[emitted])
+                ids.append(tid)
+                emitted += 1
+                if stream_cb is not None:
+                    stream_cb(tid)
+                if gen.stop_at_eos and tid == gen.eos_token_id:
+                    stopped = True
+
+        td = time.perf_counter()
+        steps = 0
+        past_dev = jnp.int32(past)
+        out_ix = jnp.int32(queued)
+        while queued < n_predict and not stopped:
+            budget = min(chunk, n_predict - queued)
+            for _ in range(budget):
+                tok, cache, rng, out_buf, past_dev, out_ix = self._decode_sample(
+                    self.params, tok, cache, past_dev, rng, temp,
+                    top_p, out_buf, out_ix,
+                    top_k=gen.top_k, use_greedy=use_greedy)
+                queued += 1
+                steps += 1
+            drain()
+        drain()
+        t_decode = time.perf_counter() - td
 
         n_new = len(ids) - len(prompt_ids)
         return GenerationResult(
@@ -223,10 +282,10 @@ class Engine:
             prompt_len=len(prompt_ids),
             timings={
                 "prefill_s": t_prefill,
-                "sample_s": t_sample,
+                "sample_s": td - td0,
                 "decode_s": t_decode,
                 "n_new": n_new,
-                "ms_per_token": (t_decode / max(n_new - 1, 1)) * 1e3,
+                "ms_per_token": (t_decode / max(steps, 1)) * 1e3,
             },
         )
 

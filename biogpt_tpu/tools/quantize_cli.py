@@ -52,7 +52,11 @@ def quantize_file(path_in: str, path_out: str, type_name: str, verbose: bool = T
                         f"{codecs.GGML_TYPE_NAMES.get(rec.ttype, rec.ttype)}; "
                         "only f32/f16 models can be quantized")
                 values = rec.to_float32()
-                data = codecs.quantize_rows(values, qtype)
+                # native C++ codecs when built (bit-exact; much faster on
+                # multi-GB checkpoints), numpy otherwise
+                from ..quant import native
+                data = native.quantize_blocks(
+                    values.reshape(-1), qtype).tobytes()
                 out_rec = ggml_format.TensorRecord(
                     name=rec.name, shape=rec.shape, ttype=qtype, data=data)
                 if verbose:
