@@ -83,14 +83,17 @@ def _attention(
     scores = jnp.einsum("bnhd,bshd->bhns", q, k_all,
                         preferred_element_type=jnp.float32, precision=prec)
 
+    # past may be scalar or per-sequence (B,) for continuous batching
+    past_b = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))[:, None, None, None]
     pos_s = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]       # cache slot
     if causal:
-        pos_n = past + jnp.arange(N, dtype=jnp.int32)[None, None, :, None]
+        pos_n = past_b + jnp.arange(N, dtype=jnp.int32)[None, None, :, None]
         valid = pos_s <= pos_n
     else:
         # reference-compat: every new token sees the whole written range of
         # REAL tokens (bucket padding must stay invisible)
-        valid = pos_s < past + n_valid
+        valid = pos_s < past_b + n_valid
     scores = jnp.where(valid, scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)
 
@@ -123,7 +126,9 @@ def forward(
     """
     B, N = tokens.shape
     emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
-    positions = past + jnp.arange(N, dtype=jnp.int32)[None, :] + config.pos_offset
+    past_rows = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))[:, None]
+    positions = past_rows + jnp.arange(N, dtype=jnp.int32)[None, :] + config.pos_offset
     pos_emb = embedding_lookup(positions, params["embed_positions"])
     x = emb + pos_emb  # (B, N, D) float32
 

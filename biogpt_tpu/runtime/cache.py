@@ -48,12 +48,38 @@ def init_cache(
 def update_layer(
     cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array, past: jax.Array
 ) -> KVCache:
-    """Write (batch, n_new, n_head, d_kv) at position `past` of one layer."""
-    k_new = k_new.astype(cache.k.dtype)[None]
-    v_new = v_new.astype(cache.v.dtype)[None]
+    """Write (batch, n_new, n_head, d_kv) into one layer's cache.
+
+    ``past`` may be a scalar (all rows at the same offset — single-sequence
+    decode/prefill) or a (batch,) vector of per-sequence offsets
+    (continuous batching: each slot has its own length).
+    """
+    past = jnp.asarray(past, jnp.int32)
+    if past.ndim == 0:
+        # uniform offset: one contiguous dynamic_update_slice
+        k_new = k_new.astype(cache.k.dtype)[None]
+        v_new = v_new.astype(cache.v.dtype)[None]
+        zero = jnp.zeros((), jnp.int32)
+        idx = (jnp.asarray(layer, jnp.int32), zero, past, zero, zero)
+        return KVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, k_new, idx),
+            v=jax.lax.dynamic_update_slice(cache.v, v_new, idx),
+        )
+
+    # Per-row offsets: one dynamic_update_slice per batch row (unrolled — B
+    # is static and small). Each write touches only its (n_new, H, Dk)
+    # slice. The alternatives are much worse on TPU: vmapped
+    # dynamic_update_slice lowers to a scatter, and a masked merge streams
+    # the WHOLE cache buffer every step.
+    B = k_new.shape[0]
     zero = jnp.zeros((), jnp.int32)
-    idx = (jnp.asarray(layer, jnp.int32), zero, jnp.asarray(past, jnp.int32), zero, zero)
-    return KVCache(
-        k=jax.lax.dynamic_update_slice(cache.k, k_new, idx),
-        v=jax.lax.dynamic_update_slice(cache.v, v_new, idx),
-    )
+    lix = jnp.asarray(layer, jnp.int32)
+    k_buf, v_buf = cache.k, cache.v
+    k_new = k_new.astype(cache.k.dtype)
+    v_new = v_new.astype(cache.v.dtype)
+    for b in range(B):
+        bix = jnp.asarray(b, jnp.int32)
+        idx = (lix, bix, past[b], zero, zero)
+        k_buf = jax.lax.dynamic_update_slice(k_buf, k_new[b][None, None], idx)
+        v_buf = jax.lax.dynamic_update_slice(v_buf, v_new[b][None, None], idx)
+    return KVCache(k=k_buf, v=v_buf)

@@ -1,0 +1,76 @@
+"""Continuous-batching engine tests: batched lockstep decode must reproduce
+single-request generation; slots refill; EOS and length limits respected."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from biogpt_tpu.config import BioGptConfig, GenerationParams
+from biogpt_tpu.modelio.checkpoint import params_from_state_dict
+from biogpt_tpu.modelio.synthetic import make_state_dict
+from biogpt_tpu.runtime.engine import Engine
+from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+TINY = BioGptConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return params_from_state_dict(make_state_dict(TINY, seed=21), TINY)
+
+
+@pytest.fixture(scope="module")
+def single_engine(tiny_params):
+    return Engine(TINY, tiny_params, compute_dtype=jnp.float32)
+
+
+def _expected(single_engine, prompt, n_predict):
+    gen = GenerationParams(n_predict=n_predict, temp=0.0, stop_at_eos=False)
+    return single_engine.generate(prompt, gen).ids
+
+
+def test_batched_matches_single(tiny_params, single_engine):
+    prompts = [[2, 5, 9], [2, 11, 30, 41, 8], [2, 7]]
+    be = BatchedEngine(TINY, tiny_params, max_batch=4,
+                       compute_dtype=jnp.float32, chunk=4)
+    reqs = [Request(prompt_ids=p, n_predict=6, request_id=i)
+            for i, p in enumerate(prompts)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    for i, p in enumerate(prompts):
+        expect = _expected(single_engine, p, 6)
+        assert results[i].ids == expect, (i, results[i].ids, expect)
+
+
+def test_more_requests_than_slots(tiny_params, single_engine):
+    prompts = [[2, i + 3, i + 11] for i in range(5)]
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=3)
+    reqs = [Request(prompt_ids=p, n_predict=4, request_id=i)
+            for i, p in enumerate(prompts)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    assert len(results) == 5
+    for i, p in enumerate(prompts):
+        assert results[i].ids == _expected(single_engine, p, 4)
+
+
+def test_n_predict_respected(tiny_params):
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    reqs = [Request(prompt_ids=[2, 5], n_predict=3, request_id=0),
+            Request(prompt_ids=[2, 9], n_predict=7, request_id=1)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    assert len(results[0].new_ids) == 3
+    assert len(results[1].new_ids) == 7
+
+
+def test_eos_stops_request(tiny_params, single_engine):
+    # find which token the model emits first, then declare it EOS
+    probe = _expected(single_engine, [2, 5], 1)
+    eos = probe[-1]
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    reqs = [Request(prompt_ids=[2, 5], n_predict=8, request_id=0)]
+    gen = GenerationParams(temp=0.0, stop_at_eos=True, eos_token_id=eos)
+    results = be.serve(reqs, gen)
+    assert results[0].new_ids[-1] == eos
+    assert len(results[0].new_ids) <= 2
