@@ -44,6 +44,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="compute dtype (bf16 rides the MXU; f32 for parity)")
     p.add_argument("--no-stop-at-eos", action="store_true",
                    help="reference-compat: never stop at </s>")
+    p.add_argument("--stream", action="store_true",
+                   help="print tokens as they are sampled (costs one "
+                        "device->host sync per token)")
+    p.add_argument("--warmup", type=int, default=0, metavar="N",
+                   help="run N warmup tokens first (absorbs compile and "
+                        "transport warmup so the timed run is steady-state)")
     return p
 
 
@@ -72,20 +78,22 @@ def main(argv=None) -> int:
         stop_at_eos=not args.no_stop_at_eos,
     )
 
+    if args.warmup > 0:
+        engine.warmup(n_tokens=args.warmup, sampled=args.temp > 0)
+
     prompt_ids = tokenizer.encode(args.prompt)
     print(f"prompt: '{args.prompt}'", file=sys.stderr)
     print(f"number of tokens in prompt = {len(prompt_ids)}, first 8 tokens: "
           f"{prompt_ids[:8]}", file=sys.stderr)
 
-    emitted = []
-
     def stream(tok_id: int) -> None:
-        emitted.append(tok_id)
         piece = tokenizer.id_to_token.get(tok_id, "<unk>")
         print(piece.replace("</w>", " ").replace("</s>", ""), end="", flush=True)
 
-    result = engine.generate(prompt_ids, gen, stream_cb=stream)
-    print()
+    result = engine.generate(prompt_ids, gen,
+                             stream_cb=stream if args.stream else None)
+    if args.stream:
+        print()
 
     text = tokenizer.decode(result.ids)
     print("\n--- detokenized ---", file=sys.stderr)

@@ -153,6 +153,24 @@ class Engine:
 
     # ------------------------------------------------------------- plumbing
 
+    def warmup(self, prompt_len: int = 8, n_tokens: int = 4,
+               sampled: bool = True) -> None:
+        """Precompile the prefill bucket, decode step, and samplers.
+
+        Also absorbs runtime first-use costs (some PJRT transports are slow
+        on the first deeply-queued executable) so the first user request
+        runs at steady-state speed.
+        """
+        gen = GenerationParams(n_predict=n_tokens, seed=0, stop_at_eos=False,
+                               temp=0.8 if sampled else 0.0)
+        # two rounds: the first compiles and absorbs transport warmup, the
+        # second confirms the steady-state path is primed
+        self.generate(list(range(2, 2 + prompt_len)), gen)
+        self.generate(list(range(2, 2 + prompt_len)), gen)
+        if sampled:  # greedy variant compiles separately
+            gen.temp = 0.0
+            self.generate(list(range(2, 2 + prompt_len)), gen)
+
     def new_cache(self, batch: int = 1, max_len: Optional[int] = None) -> KVCache:
         cache = init_cache(self.config, batch=batch,
                            max_len=max_len or self.max_seq,
@@ -217,8 +235,10 @@ class Engine:
         # device-side token buffer in ONE device->host transfer to emit
         # tokens and check EOS. If EOS landed mid-chunk the extra steps are
         # discarded (the cache dies with the generation, so over-advancing
-        # it is harmless). Streaming fetches every token for latency.
-        chunk = 1 if stream_cb is not None else 32
+        # it is harmless). Streaming fetches every token for latency;
+        # otherwise fetches are kept rare — device->host reads are far more
+        # expensive than decode steps.
+        chunk = 1 if stream_cb is not None else 64
 
         n_predict = min(gen.n_predict, self.config.n_positions - len(prompt_ids))
         ids = list(prompt_ids)

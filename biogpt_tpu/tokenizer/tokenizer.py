@@ -41,7 +41,8 @@ class BioGptTokenizer:
             vocab = json.load(f)
         with open(merges_txt, encoding="utf-8") as f:
             lines = f.read().split("\n")[:-1]
-        merges = [tuple(line.split()[:2]) for line in lines]
+        merges = [tuple(parts[:2]) for line in lines
+                  if len(parts := line.split()) >= 2]
         return cls(vocab, merges, lang=lang)
 
     # -- encode -------------------------------------------------------------

@@ -50,7 +50,9 @@ def convert(dir_model: str | Path, out_dir: str | Path, use_f16: bool = False,
         vocab = json.load(f)
     with open(dir_model / "merges.txt", encoding="utf-8") as f:
         lines = f.read().split("\n")[:-1]
-    merges = [tuple(line.split()[:2]) for line in lines]
+    # skip headers/blank lines; a merge line is "first second"
+    merges = [tuple(parts[:2]) for line in lines
+              if len(parts := line.split()) >= 2]
 
     config = BioGptConfig(
         n_vocab=hf["vocab_size"],

@@ -184,3 +184,27 @@ def test_nomask_compat_mode(hf_model_and_state):
     c2 = ec.new_cache()
     l2, c2, _ = ec.prefill(c2, ids[0, :1])
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_eos_stops_mid_chunk(hf_model_and_state):
+    """Greedy generation must stop at the first EOS even when it lands in
+    the middle of a speculative decode chunk."""
+    _, state = hf_model_and_state
+    engine = Engine(TINY, _our_params(state), compute_dtype=jnp.float32)
+    from biogpt_tpu.config import GenerationParams
+
+    probe = engine.generate([2, 10, 25], GenerationParams(
+        n_predict=6, temp=0.0, stop_at_eos=False))
+    eos = probe.new_ids[2]  # declare the 3rd generated token as "EOS"
+    first_occurrence = probe.new_ids.index(eos)  # may repeat earlier
+    res = engine.generate([2, 10, 25], GenerationParams(
+        n_predict=40, temp=0.0, stop_at_eos=True, eos_token_id=eos))
+    assert res.new_ids[-1] == eos
+    assert len(res.new_ids) == first_occurrence + 1
+    assert res.new_ids == probe.new_ids[:first_occurrence + 1]
+
+
+def test_engine_warmup(hf_model_and_state):
+    _, state = hf_model_and_state
+    engine = Engine(TINY, _our_params(state), compute_dtype=jnp.float32)
+    engine.warmup(prompt_len=4, n_tokens=2)
