@@ -23,14 +23,18 @@ import jax
 import jax.numpy as jnp
 
 from biogpt_tpu.config import BioGptConfig
-from biogpt_tpu.modelio.synthetic import make_random_quantized_params
+from biogpt_tpu.modelio.synthetic import make_random_quantized_params, make_state_dict
+from biogpt_tpu.modelio.checkpoint import params_from_state_dict
 from biogpt_tpu.models.biogpt import forward
-from biogpt_tpu.quant.codecs import GGML_TYPE_Q4_0
+from biogpt_tpu.quant.codecs import GGML_TYPE_BY_NAME, GGML_TYPE_Q4_0
 from biogpt_tpu.runtime.cache import init_cache
 from biogpt_tpu.runtime.engine import _pack_matmul_weights
 from biogpt_tpu.runtime.sampling import greedy
 
-BASELINE_TOKENS_PER_SEC = 125.0  # 8 ms/token, reference README.md:56
+# reference per-token decode latencies on M1 Pro (BASELINE.md)
+BASELINES_TOK_S = {"q4_0": 125.0, "q4_1": 1000 / 9, "q5_0": 100.0,
+                   "q5_1": 1000 / 11, "q8_0": 100.0, "f32": 50.0}
+BASELINE_TOKENS_PER_SEC = 125.0  # Q4_0 anchor: 8 ms/token, reference README.md:56
 
 
 def log(msg: str) -> None:
@@ -39,9 +43,14 @@ def log(msg: str) -> None:
 
 def main() -> int:
     config = BioGptConfig()
+    qname = os.environ.get("BENCH_QTYPE", "q4_0")  # q4_0..q8_0 | f32
     log(f"devices: {jax.devices()}")
-    log("building Q4_0 params (random planes, real layout)...")
-    params = make_random_quantized_params(config, GGML_TYPE_Q4_0, seed=0)
+    log(f"building {qname} params (random, real layout)...")
+    if qname == "f32":
+        params = params_from_state_dict(make_state_dict(config, seed=0), config)
+    else:
+        params = make_random_quantized_params(
+            config, GGML_TYPE_BY_NAME[qname], seed=0)
     if os.environ.get("BENCH_PACK_Q4") == "1":   # Pallas packed-kernel path
         params = _pack_matmul_weights(params)
     params = jax.device_put(params)
@@ -88,10 +97,11 @@ def main() -> int:
         f"over {n_steps} steps at past~{past}")
 
     print(json.dumps({
-        "metric": "q4_0_decode_tokens_per_sec",
+        "metric": f"{qname}_decode_tokens_per_sec",
         "value": round(tokens_per_sec, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
+        "vs_baseline": round(
+            tokens_per_sec / BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC), 3),
         "ms_per_token": round(ms_per_token, 4),
         "device": str(jax.devices()[0]),
     }))
