@@ -10,6 +10,11 @@ Baseline anchor: the reference's Q4_0 decode at 8 ms/token on M1 Pro
 Weights are random in real Q4_0 plane layout (no checkpoint is available in
 this offline environment) — decode throughput is weight-value-independent.
 Extra diagnostic metrics go to stderr.
+
+Timing methodology: this runtime acknowledges block_until_ready before
+device work completes, so every measurement ends with a real device->host
+fetch of the token chain, and the per-step cost is the MARGINAL time
+between a long and a short run (fixed fetch/queue costs cancel).
 """
 
 import json
@@ -41,7 +46,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> int:
+def main() -> int:  # noqa: C901
     config = BioGptConfig()
     qname = os.environ.get("BENCH_QTYPE", "q4_0")  # q4_0..q8_0 | f32
     log(f"devices: {jax.devices()}")
@@ -51,11 +56,10 @@ def main() -> int:
     else:
         params = make_random_quantized_params(
             config, GGML_TYPE_BY_NAME[qname], seed=0)
-    if os.environ.get("BENCH_PACK_Q4") == "1":   # Pallas packed-kernel path
+    use_pallas = os.environ.get("BENCH_PACK_Q4", "1") == "1"
+    if use_pallas:   # Pallas packed-kernel path (default; fastest measured)
         params = _pack_matmul_weights(params)
     params = jax.device_put(params)
-
-    use_pallas = os.environ.get("BENCH_PACK_Q4") == "1"
 
     def step(params, tok, cache, past):
         logits, cache = forward(params, tok, cache, past, config,
@@ -76,20 +80,23 @@ def main() -> int:
     log("compiling decode step...")
     t0 = time.perf_counter()
     tok, cache, past = jit_step(params, tok, cache, past)
-    jax.block_until_ready(tok)
+    import numpy as np
+    _ = int(np.asarray(tok)[0, 0])          # real sync (fetch)
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    warmup = 16
-    for _ in range(warmup):
-        tok, cache, past = jit_step(params, tok, cache, past)
-    jax.block_until_ready(tok)
+    def run(n):
+        nonlocal tok, cache, past
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tok, cache, past = jit_step(params, tok, cache, past)
+        _ = int(np.asarray(tok)[0, 0])      # forces the whole chain
+        return time.perf_counter() - t0
 
-    n_steps = 256
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        tok, cache, past = jit_step(params, tok, cache, past)
-    jax.block_until_ready(tok)
-    dt = time.perf_counter() - t0
+    run(48)                                  # warmup (absorbs runtime quirks)
+    t_short = run(64)
+    t_long = run(320)
+    n_steps = 320 - 64
+    dt = t_long - t_short                    # marginal: fixed costs cancel
 
     tokens_per_sec = n_steps / dt
     ms_per_token = dt / n_steps * 1e3

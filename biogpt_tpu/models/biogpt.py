@@ -152,6 +152,8 @@ def forward(
         x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
     logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
                     allow_pallas=allow_pallas)
+    # the lm_head may be lane-padded for the Pallas kernel; keep real vocab
+    logits = logits[..., :config.n_vocab]
     if logits_mode == "last":
         logits = logits[:, 0, :]
     return logits, cache

@@ -44,23 +44,37 @@ def _pack_matmul_weights(params: dict) -> dict:
     vocab) stay on the XLA path untouched."""
     import ml_dtypes
 
-    from ..ops.pallas_qmatmul import supports
+    from ..ops.pallas_qmatmul import supports, _LANES
     from ..quant.layouts import QuantizedTensor, pack_nibble_planes
 
-    def maybe_pack(w):
-        if isinstance(w, QuantizedTensor) and not w.packed and supports(w, 1):
-            w = pack_nibble_planes(w)
-            return QuantizedTensor(
-                levels=w.levels,
-                scales=np.asarray(w.scales).astype(ml_dtypes.bfloat16),
-                mins=(np.asarray(w.mins).astype(ml_dtypes.bfloat16)
+    def maybe_pack(w, pad_out: bool = False):
+        if not isinstance(w, QuantizedTensor) or w.packed:
+            return w
+        if pad_out and w.scales.shape[-1] % _LANES != 0:
+            # lane-pad d_out (lm_head's odd vocab) with zero scales/levels;
+            # forward slices logits back to n_vocab
+            pad = _LANES - w.scales.shape[-1] % _LANES
+            widths = [(0, 0)] * (w.levels.ndim - 1) + [(0, pad)]
+            w = QuantizedTensor(
+                levels=np.pad(np.asarray(w.levels), widths),
+                scales=np.pad(np.asarray(w.scales), widths),
+                mins=(np.pad(np.asarray(w.mins), widths)
                       if w.mins is not None else None),
-                qtype=w.qtype, packed=w.packed,
+                qtype=w.qtype, packed=False,
             )
-        return w
+        if not supports(w, 1):
+            return w
+        w = pack_nibble_planes(w)
+        return QuantizedTensor(
+            levels=w.levels,
+            scales=np.asarray(w.scales).astype(ml_dtypes.bfloat16),
+            mins=(np.asarray(w.mins).astype(ml_dtypes.bfloat16)
+                  if w.mins is not None else None),
+            qtype=w.qtype, packed=w.packed,
+        )
 
     out = dict(params)
-    out["lm_head"] = maybe_pack(params["lm_head"])
+    out["lm_head"] = maybe_pack(params["lm_head"], pad_out=True)
     out["layers"] = {
         k: ({"w": maybe_pack(v["w"]), "b": v["b"]}
             if isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)
@@ -99,7 +113,7 @@ class Engine:
         max_seq: Optional[int] = None,
         donate_cache: bool = True,
         mesh=None,
-        pack_q4: bool = False,
+        pack_q4: bool = True,
     ):
         self.config = config
         self.compute_dtype = compute_dtype
@@ -109,11 +123,9 @@ class Engine:
         self.mesh = mesh
         # Under a mesh, GSPMD partitions the XLA ops; the Pallas kernel (and
         # split-half packed planes) are single-device constructs — skip both.
-        # pack_q4 currently defaults OFF: on-chip measurement has the XLA
-        # block-accumulated einsum path ahead of the first-cut Pallas kernel
-        # (0.65 vs 0.82 ms/token at 347M Q4_0 — the kernel's elementwise
-        # dequant is VPU-bound; see bench notes). Revisit with a
-        # block-structured kernel.
+        # Default ON: the block-structured Pallas kernel measures ~2.5x
+        # faster than the XLA block-accum path under honest (fetch-synced)
+        # timing (RESULTS.md).
         self.allow_pallas = mesh is None and pack_q4
         if pack_q4 and mesh is None:
             params = _pack_matmul_weights(params)

@@ -49,7 +49,9 @@ def test_sharded_logits_match_single_device(tiny_params, data, model):
 
 def test_sharded_quantized_logits_match(tiny_params_q4):
     ids = np.array([[2, 10, 25, 48, 7, 31]], dtype=np.int32)
-    base = Engine(TINY, tiny_params_q4, compute_dtype=jnp.float32).score(ids)
+    # pack_q4=False: the mesh path never packs, so compare like-for-like
+    base = Engine(TINY, tiny_params_q4, compute_dtype=jnp.float32,
+                  pack_q4=False).score(ids)
     mesh = make_mesh(data=1, model=4)
     sharded = Engine(TINY, tiny_params_q4, compute_dtype=jnp.float32,
                      mesh=mesh).score(ids)
