@@ -31,7 +31,7 @@ from biogpt_tpu.config import BioGptConfig
 from biogpt_tpu.modelio.synthetic import make_random_quantized_params, make_state_dict
 from biogpt_tpu.modelio.checkpoint import params_from_state_dict
 from biogpt_tpu.models.biogpt import forward
-from biogpt_tpu.quant.codecs import GGML_TYPE_BY_NAME, GGML_TYPE_Q4_0
+from biogpt_tpu.quant.codecs import GGML_TYPE_BY_NAME
 from biogpt_tpu.runtime.cache import init_cache
 from biogpt_tpu.runtime.engine import _pack_matmul_weights
 from biogpt_tpu.runtime.sampling import greedy

@@ -38,7 +38,7 @@ import numpy as np
 
 from ..config import BioGptConfig
 from ..quant import codecs
-from ..quant.layouts import QuantizedTensor, to_planes, to_lookup_planes, quantize_to_planes
+from ..quant.layouts import to_planes, to_lookup_planes
 from . import ggml_format
 from .ggml_format import TensorRecord
 

@@ -16,9 +16,7 @@ import dataclasses
 import sys
 import time
 
-import numpy as np
-
-from ..config import BioGptConfig, FTYPE_BY_NAME
+from ..config import FTYPE_BY_NAME
 from ..modelio import ggml_format
 from ..modelio.checkpoint import should_quantize
 from ..quant import codecs
