@@ -62,9 +62,11 @@ def main() -> int:  # noqa: C901
     params = jax.device_put(params)
 
     def step(params, tok, cache, past):
+        # kv_window 512 covers the 433 decode positions this bench reaches
+        # (the engine buckets this dynamically per chunk)
         logits, cache = forward(params, tok, cache, past, config,
                                 compute_dtype=jnp.bfloat16,
-                                allow_pallas=use_pallas)
+                                allow_pallas=use_pallas, kv_window=512)
         # past advances on device: per-step host->device scalar uploads cost
         # several times the model step itself
         return greedy(logits)[:, None], cache, past + 1

@@ -61,6 +61,7 @@ def _attention(
     causal: bool,
     n_valid: jax.Array,          # scalar int32: real (unpadded) new-token count
     allow_pallas: bool,
+    kv_window: Optional[int],    # static: attend over cache[:kv_window] only
 ) -> Tuple[jax.Array, KVCache]:
     B, N, D = x.shape
     H, Dk = config.n_head, config.d_kv
@@ -74,9 +75,12 @@ def _attention(
     v = v.reshape(B, N, H, Dk)
 
     cache = update_layer(cache, layer_ix, k, v, past)
-    S = cache.max_len
-    k_all = cache.k[layer_ix].astype(jnp.float32)   # (B, S, H, Dk)
-    v_all = cache.v[layer_ix].astype(jnp.float32)
+    # Attend over a static prefix window of the cache: reading all
+    # n_positions slots costs ~96 MB/token at 347M; the engine buckets the
+    # window to the live length (a handful of compiled variants).
+    S = cache.max_len if kv_window is None else min(kv_window, cache.max_len)
+    k_all = cache.k[layer_ix][:, :S].astype(jnp.float32)   # (B, S, H, Dk)
+    v_all = cache.v[layer_ix][:, :S].astype(jnp.float32)
 
     # scores over the whole cache buffer; invalid positions masked below
     prec = precision_for(compute_dtype)
@@ -114,6 +118,8 @@ def forward(
     causal: bool = True,
     logits_mode: str = "last",   # "last" | "all"
     allow_pallas: bool = True,
+    kv_window: Optional[int] = None,  # static: attention reads only
+                                      # cache[:kv_window] (must cover past+N)
     last_index: Optional[jax.Array] = None,  # for "last": position of the
                                              # real final token (padded prefill)
 ) -> Tuple[jax.Array, KVCache]:
@@ -138,7 +144,7 @@ def forward(
         h = _layer_norm(x, layer["ln0"]["w"], layer["ln0"]["b"], config.ln_eps)
         attn_out, cache = _attention(
             layer, h, cache, i, past, config, compute_dtype, causal, n_valid,
-            allow_pallas)
+            allow_pallas, kv_window)
         x = x + attn_out
         h = _layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], config.ln_eps)
         h = _project(h, layer["fc1"], compute_dtype, allow_pallas)

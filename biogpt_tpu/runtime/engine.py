@@ -136,17 +136,19 @@ class Engine:
             self.params = jax.device_put(params)
 
         static = ("config", "compute_dtype", "causal", "logits_mode",
-                  "allow_pallas")
+                  "allow_pallas", "kv_window")
         donate = ("cache",) if donate_cache else ()
         self._step = jax.jit(
             forward, static_argnames=static, donate_argnames=donate)
 
         def decode_and_sample(params, tok, cache, past, rng, temp, top_p,
-                              out_buf, out_ix, *, top_k: int, use_greedy: bool):
+                              out_buf, out_ix, *, top_k: int, use_greedy: bool,
+                              kv_window: int):
             logits, cache = forward(
                 params, tok, cache, past, self.config,
                 compute_dtype=self.compute_dtype, causal=self.causal,
-                allow_pallas=self.allow_pallas, logits_mode="last")
+                allow_pallas=self.allow_pallas, logits_mode="last",
+                kv_window=kv_window)
             if use_greedy:
                 nxt = greedy(logits)
             else:
@@ -160,10 +162,17 @@ class Engine:
             return nxt[:, None], cache, rng, out_buf, past + 1, out_ix + 1
 
         self._decode_sample = jax.jit(
-            decode_and_sample, static_argnames=("top_k", "use_greedy"),
+            decode_and_sample,
+            static_argnames=("top_k", "use_greedy", "kv_window"),
             donate_argnames=donate + (("out_buf",) if donate_cache else ()))
 
     # ------------------------------------------------------------- plumbing
+
+    def _window(self, needed: int) -> int:
+        """Static KV-attention window: the live length bucketed up (floor
+        128) — a handful of compiled variants instead of reading the whole
+        n_positions cache every step."""
+        return min(_bucket(needed, floor=128), self.max_seq)
 
     def warmup(self, prompt_len: int = 8, n_tokens: int = 4,
                sampled: bool = True) -> None:
@@ -208,17 +217,19 @@ class Engine:
         logits, cache = self._step(
             self.params, jnp.asarray(buf), cache, jnp.int32(0), self.config,
             compute_dtype=self.compute_dtype, causal=self.causal, allow_pallas=self.allow_pallas,
-            logits_mode="last", last_index=jnp.int32(n - 1),
+            logits_mode="last", kv_window=self._window(padded),
+            last_index=jnp.int32(n - 1),
         )
         return logits, cache, n
 
     def decode_step(self, cache: KVCache, token: int | jax.Array, past: int | jax.Array):
         """One-token decode. Returns (logits(B,V), cache)."""
         tok = jnp.asarray(token, jnp.int32).reshape(1, 1)
+        window = self._window(int(past) + 1) if isinstance(past, int) else None
         logits, cache = self._step(
             self.params, tok, cache, jnp.asarray(past, jnp.int32), self.config,
             compute_dtype=self.compute_dtype, causal=self.causal, allow_pallas=self.allow_pallas,
-            logits_mode="last",
+            logits_mode="last", kv_window=window,
         )
         return logits, cache
 
@@ -297,11 +308,12 @@ class Engine:
         out_ix = jnp.int32(queued)
         while queued < n_predict and not stopped:
             budget = min(chunk, n_predict - queued)
+            window = self._window(past + queued + budget)
             for _ in range(budget):
                 tok, cache, rng, out_buf, past_dev, out_ix = self._decode_sample(
                     self.params, tok, cache, past_dev, rng, temp,
                     top_p, out_buf, out_ix,
-                    top_k=gen.top_k, use_greedy=use_greedy)
+                    top_k=gen.top_k, use_greedy=use_greedy, kv_window=window)
                 queued += 1
                 steps += 1
             drain()
