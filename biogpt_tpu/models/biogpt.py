@@ -67,9 +67,14 @@ def _attention(
     H, Dk = config.n_head, config.d_kv
     scaling = 1.0 / math.sqrt(Dk)
 
-    q = (_project(x, layer_params["q"], compute_dtype, allow_pallas) * scaling)
-    k = _project(x, layer_params["k"], compute_dtype, allow_pallas)
-    v = _project(x, layer_params["v"], compute_dtype, allow_pallas)
+    if "qkv" in layer_params:   # engine-fused projection (one kernel)
+        qkv = _project(x, layer_params["qkv"], compute_dtype, allow_pallas)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q * scaling
+    else:
+        q = (_project(x, layer_params["q"], compute_dtype, allow_pallas) * scaling)
+        k = _project(x, layer_params["k"], compute_dtype, allow_pallas)
+        v = _project(x, layer_params["v"], compute_dtype, allow_pallas)
     q = q.reshape(B, N, H, Dk)
     k = k.reshape(B, N, H, Dk)
     v = v.reshape(B, N, H, Dk)

@@ -73,13 +73,36 @@ def _pack_matmul_weights(params: dict) -> dict:
             qtype=w.qtype, packed=w.packed,
         )
 
+    def fuse_qkv(layers: dict) -> dict:
+        """Concatenate q/k/v into one projection (d_in, 3*d_model): one
+        kernel launch instead of three — program length, not bytes, caps
+        decode on this runtime, and shorter programs also help real HW."""
+        qw = layers.get("q", {}).get("w")
+        kw = layers.get("k", {}).get("w")
+        vw = layers.get("v", {}).get("w")
+        if not all(isinstance(w, QuantizedTensor) and not w.packed
+                   for w in (qw, kw, vw)):
+            return layers
+        fused_w = QuantizedTensor(
+            levels=np.concatenate([qw.levels, kw.levels, vw.levels], axis=-1),
+            scales=np.concatenate([qw.scales, kw.scales, vw.scales], axis=-1),
+            mins=(np.concatenate([qw.mins, kw.mins, vw.mins], axis=-1)
+                  if qw.mins is not None else None),
+            qtype=qw.qtype, packed=False,
+        )
+        fused_b = np.concatenate(
+            [layers["q"]["b"], layers["k"]["b"], layers["v"]["b"]], axis=-1)
+        out = {k: v for k, v in layers.items() if k not in ("q", "k", "v")}
+        out["qkv"] = {"w": fused_w, "b": fused_b}
+        return out
+
     out = dict(params)
     out["lm_head"] = maybe_pack(params["lm_head"], pad_out=True)
     out["layers"] = {
         k: ({"w": maybe_pack(v["w"]), "b": v["b"]}
             if isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)
             else v)
-        for k, v in params["layers"].items()
+        for k, v in fuse_qkv(params["layers"]).items()
     }
     return out
 

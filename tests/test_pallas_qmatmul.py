@@ -102,7 +102,7 @@ def test_engine_packs_q4_weights():
     sd = make_state_dict(config, seed=5)
     params = params_from_state_dict(sd, config, qtype=codecs.GGML_TYPE_Q4_0)
     engine = Engine(config, params, compute_dtype=jnp.float32, pack_q4=True)
-    assert engine.params["layers"]["q"]["w"].packed
+    assert engine.params["layers"]["qkv"]["w"].packed  # q/k/v fused + packed
     assert engine.params["lm_head"].packed  # 256 vocab is lane-aligned
     assert not engine.params["embed_tokens"].packed  # gather path stays flat
 
