@@ -84,12 +84,21 @@ def _attention(
     # n_positions slots costs ~96 MB/token at 347M; the engine buckets the
     # window to the live length (a handful of compiled variants).
     S = cache.max_len if kv_window is None else min(kv_window, cache.max_len)
-    k_all = cache.k[layer_ix][:, :S].astype(jnp.float32)   # (B, S, H, Dk)
-    v_all = cache.v[layer_ix][:, :S].astype(jnp.float32)
+    if compute_dtype == jnp.float32:
+        # parity mode: widen the fp16 cache before the dots
+        k_all = cache.k[layer_ix][:, :S].astype(jnp.float32)
+        v_all = cache.v[layer_ix][:, :S].astype(jnp.float32)
+        q_dot = q
+    else:
+        # fast mode: feed the fp16 cache straight into the dots (f32
+        # accumulation) — materializing a widened copy costs ~144 MB/token
+        # of fusion traffic at 347M
+        k_all = cache.k[layer_ix][:, :S]
+        v_all = cache.v[layer_ix][:, :S]
+        q_dot = q.astype(cache.k.dtype)
 
-    # scores over the whole cache buffer; invalid positions masked below
     prec = precision_for(compute_dtype)
-    scores = jnp.einsum("bnhd,bshd->bhns", q, k_all,
+    scores = jnp.einsum("bnhd,bshd->bhns", q_dot, k_all,
                         preferred_element_type=jnp.float32, precision=prec)
 
     # past may be scalar or per-sequence (B,) for continuous batching
@@ -106,7 +115,8 @@ def _attention(
     scores = jnp.where(valid, scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)
 
-    ctx = jnp.einsum("bhns,bshd->bnhd", attn, v_all,
+    attn_dot = attn if compute_dtype == jnp.float32 else attn.astype(cache.v.dtype)
+    ctx = jnp.einsum("bhns,bshd->bnhd", attn_dot, v_all,
                      preferred_element_type=jnp.float32, precision=prec)
     ctx = ctx.reshape(B, N, D)
     out = _project(ctx, layer_params["o"], compute_dtype, allow_pallas)
