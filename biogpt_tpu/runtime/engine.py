@@ -131,7 +131,7 @@ class Engine:
         config: BioGptConfig,
         params,
         compute_dtype=jnp.bfloat16,
-        cache_dtype=jnp.float16,
+        cache_dtype=None,
         causal: bool = True,
         max_seq: Optional[int] = None,
         donate_cache: bool = True,
@@ -140,6 +140,16 @@ class Engine:
     ):
         self.config = config
         self.compute_dtype = compute_dtype
+        # fp16 KV cache (the north-star upgrade over the reference's f32).
+        # The experimental fused-attention kernel needs bf16 (Mosaic has no
+        # f16): it is selected automatically when that kernel is enabled.
+        if cache_dtype is None:
+            from ..ops import pallas_attention
+            cache_dtype = (jnp.bfloat16
+                           if (pallas_attention.ENABLED and pack_q4
+                               and mesh is None
+                               and compute_dtype != jnp.float32)
+                           else jnp.float16)
         self.cache_dtype = cache_dtype
         self.causal = causal
         self.max_seq = max_seq or config.n_positions
