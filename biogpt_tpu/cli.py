@@ -22,6 +22,8 @@ from .config import GenerationParams
 from .modelio.checkpoint import load_params
 from .runtime.engine import Engine
 from .tokenizer import BioGptTokenizer
+from .utils.logging import get_logger, set_verbosity
+from .utils.profiling import Timer
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -55,17 +57,29 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    set_verbosity(args.verbosity)
+    log = get_logger("cli")
 
+    timer = Timer()
     t_start = time.perf_counter()
-    t0 = time.perf_counter()
-    config, token_to_id, merges, params = load_params(args.model)
-    tokenizer = BioGptTokenizer(token_to_id, merges, lang=args.lang)
-    t_load = time.perf_counter() - t0
+    with timer.phase("load"):
+        try:
+            config, token_to_id, merges, params = load_params(args.model)
+        except FileNotFoundError:
+            # clean error instead of a traceback (reference: biogpt.cpp:35-48)
+            print(f"error: failed to open '{args.model}': no such file",
+                  file=sys.stderr)
+            return 1
+        except ValueError as e:
+            print(f"error: failed to load model from '{args.model}': {e}",
+                  file=sys.stderr)
+            return 1
+        tokenizer = BioGptTokenizer(token_to_id, merges, lang=args.lang)
 
-    if args.verbosity > 0:
-        print(f"model: {args.model} d_model={config.d_model} n_layer={config.n_layer} "
-              f"n_head={config.n_head} n_vocab={config.n_vocab} ftype={config.ftype}",
-              file=sys.stderr)
+    log.info(
+        "model: %s d_model=%d n_layer=%d n_head=%d n_vocab=%d ftype=%d",
+        args.model, config.d_model, config.n_layer, config.n_head,
+        config.n_vocab, config.ftype)
 
     engine = Engine(
         config, params,
@@ -102,7 +116,7 @@ def main(argv=None) -> int:
     t_total = time.perf_counter() - t_start
     t = result.timings
     print(file=sys.stderr)
-    print(f"    load time = {t_load * 1e3:8.2f} ms", file=sys.stderr)
+    print(f"    load time = {timer.ms('load'):8.2f} ms", file=sys.stderr)
     print(f" prefill time = {t['prefill_s'] * 1e3:8.2f} ms", file=sys.stderr)
     print(f"  sample time = {t['sample_s'] * 1e3:8.2f} ms", file=sys.stderr)
     print(f" predict time = {t['decode_s'] * 1e3:8.2f} ms / "

@@ -113,7 +113,15 @@ def layer_slice(layers: dict, i):
 
 def load_params(path: str | Path):
     """Read a ggml-model.bin -> (config, token_to_id, merges, params)."""
+    from ..utils.logging import get_logger
+
+    log = get_logger("modelio")
     config, token_to_id, merges, records = ggml_format.read_model_file(path)
+    log.info("loaded %s: n_vocab=%d n_layer=%d d_model=%d ftype=%d, %d tensors",
+             path, config.n_vocab, config.n_layer, config.d_model,
+             config.ftype, len(records))
+    for name, r in records.items():
+        log.debug("tensor %-48s shape=%s ttype=%d", name, r.shape, r.ttype)
     params = params_from_records(records, config)
     return config, token_to_id, merges, params
 

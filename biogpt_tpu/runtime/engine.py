@@ -296,7 +296,12 @@ class Engine:
         # expensive than decode steps.
         chunk = 1 if stream_cb is not None else 64
 
-        n_predict = min(gen.n_predict, self.config.n_positions - len(prompt_ids))
+        # Cap by the KV-cache length (max_seq), not just n_positions: decode
+        # writes cache rows at prompt_len..prompt_len+n-2, and
+        # dynamic_update_slice clamps out-of-range writes to the LAST slot —
+        # silently corrupting the cache instead of failing.
+        limit = min(self.max_seq, self.config.n_positions)
+        n_predict = min(gen.n_predict, limit - len(prompt_ids))
         ids = list(prompt_ids)
         if n_predict <= 0:
             return GenerationResult(ids=ids, prompt_len=len(prompt_ids))

@@ -117,10 +117,12 @@ class BatchedEngine:
                           dtype=self.cache_dtype)
 
     def _prefill_request(self, req: Request, cache: KVCache, slot: int,
-                         rng) -> tuple:
+                         rng, gen: GenerationParams) -> tuple:
         """Prefill one request on a temp batch=1 cache and insert at slot.
 
-        Returns (cache, first_token (1,1) array, length)."""
+        Returns (cache, first_token (1,1) array, length, rng). The first
+        token is sampled with the same temp/top_k/top_p as decode steps
+        (greedy only when gen.temp <= 0) — matching Engine.generate."""
         ids = np.asarray(req.prompt_ids, dtype=np.int32)[None, :]
         n = ids.shape[1]
         small = init_cache(self.config, batch=1, max_len=self.max_seq,
@@ -130,7 +132,13 @@ class BatchedEngine:
             compute_dtype=self.compute_dtype, allow_pallas=False,
             logits_mode="last", last_index=jnp.int32(n - 1))
         cache = self._insert_slot(cache, small, slot, n)
-        return cache, greedy(logits)[:, None], n
+        if gen.temp <= 0:
+            first = greedy(logits)[:, None]
+        else:
+            rng, sub = jax.random.split(rng)
+            first = sample_top_k_top_p(sub, logits, top_k=gen.top_k,
+                                       top_p=gen.top_p, temp=gen.temp)[:, None]
+        return cache, first, n, rng
 
     def serve(
         self,
@@ -171,8 +179,8 @@ class BatchedEngine:
             results[req.request_id] = RequestResult(
                 request_id=req.request_id, ids=list(req.prompt_ids),
                 prompt_len=len(req.prompt_ids))
-            cache2, first_tok, n = self._prefill_request(req, cache, slot, rng)
-            cache = cache2
+            cache, first_tok, n, rng = self._prefill_request(
+                req, cache, slot, rng, gen)
             slot_req[slot] = req
             slot_emitted[slot] = 0
             lengths_host[slot] = n
@@ -187,7 +195,13 @@ class BatchedEngine:
                 return True
             if slot_emitted[slot] >= req.n_predict:
                 return True
-            if lengths_host[slot] + slot_emitted[slot] >= self.max_seq:
+            # Capacity: lengths_host mirrors the DEVICE position (prompt +
+            # decoded so far); the next chunk writes cache rows
+            # [pos, pos+chunk), so the slot is full once that would overrun.
+            # (slot_emitted must NOT be added here — those tokens are already
+            # counted inside lengths_host; double-counting truncated requests
+            # at roughly half capacity.)
+            if lengths_host[slot] + self.chunk > self.max_seq:
                 return True
             res = results[req.request_id]
             return (gen.stop_at_eos and len(res.new_ids) > 0

@@ -25,7 +25,13 @@ from ..tokenizer import BioGptTokenizer
 
 def perplexity_of_ids(engine: Engine, ids: list[int], window: int = 1024,
                       stride: int | None = None) -> dict:
-    """Sliding-window ppl over a token stream (strided full-window scoring)."""
+    """Sliding-window ppl over a token stream.
+
+    With stride < window, each window after the first scores only its final
+    ``stride`` target positions — overlapped tokens (which earlier windows
+    already scored, with more context here) are skipped, the standard
+    sliding-window convention. Each token is counted exactly once.
+    """
     stride = stride or window
     total_nll = 0.0
     total_tokens = 0
@@ -33,12 +39,18 @@ def perplexity_of_ids(engine: Engine, ids: list[int], window: int = 1024,
         chunk = ids[start:start + window]
         if len(chunk) < 2:
             break
+        # Targets in this chunk are positions start+1 .. start+len-1; skip
+        # the ones a previous window already scored (overlap = window-stride).
+        skip = 0 if start == 0 else max(window - stride - 1, 0)
+        if skip >= len(chunk) - 1:
+            continue
         logits = engine.score(np.asarray([chunk], dtype=np.int32))[0]
         logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
         targets = np.asarray(chunk[1:])
         token_logp = np.asarray(logp)[np.arange(len(targets)), targets]
+        token_logp = token_logp[skip:]
         total_nll += float(-token_logp.sum())
-        total_tokens += len(targets)
+        total_tokens += len(token_logp)
     nll = total_nll / max(total_tokens, 1)
     return {"nll": nll, "ppl": math.exp(nll), "tokens": total_tokens}
 

@@ -52,12 +52,13 @@ def profile_decode(params, config: BioGptConfig, steps: int = 32,
         tok, cache, past = jit_step(params, tok, cache, past)
     _ = int(np.asarray(tok)[0, 0])
 
+    from ..utils.profiling import trace
+
     trace_dir = trace_dir or tempfile.mkdtemp(prefix="biogpt_trace_")
-    jax.profiler.start_trace(trace_dir)
-    for _ in range(steps):
-        tok, cache, past = jit_step(params, tok, cache, past)
-    _ = int(np.asarray(tok)[0, 0])
-    jax.profiler.stop_trace()
+    with trace(trace_dir):
+        for _ in range(steps):
+            tok, cache, past = jit_step(params, tok, cache, past)
+        _ = int(np.asarray(tok)[0, 0])
 
     from xprof.convert import raw_to_tool_data as rtd
 

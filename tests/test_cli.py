@@ -50,6 +50,9 @@ def test_cli_stream_mode(model_path, capsys):
     assert rc == 0
 
 
-def test_cli_missing_model():
-    with pytest.raises(FileNotFoundError):
-        main(["-m", "/nonexistent/model.bin", "-p", "x"])
+def test_cli_missing_model(capsys):
+    # clean error + nonzero exit, not a traceback (reference biogpt.cpp:35-48
+    # prints "failed to open" and returns)
+    rc = main(["-m", "/nonexistent/model.bin", "-p", "x"])
+    assert rc == 1
+    assert "failed to open" in capsys.readouterr().err
