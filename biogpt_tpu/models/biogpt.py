@@ -75,11 +75,12 @@ def _attention(
         q = (_project(x, layer_params["q"], compute_dtype, allow_pallas) * scaling)
         k = _project(x, layer_params["k"], compute_dtype, allow_pallas)
         v = _project(x, layer_params["v"], compute_dtype, allow_pallas)
+
+    # the cache keeps the flat (B, N, D) rows (heads are contiguous in D)
+    cache = update_layer(cache, layer_ix, k, v, past)
     q = q.reshape(B, N, H, Dk)
     k = k.reshape(B, N, H, Dk)
     v = v.reshape(B, N, H, Dk)
-
-    cache = update_layer(cache, layer_ix, k, v, past)
     # Attend over a static prefix window of the cache: reading all
     # n_positions slots costs ~96 MB/token at 347M; the engine buckets the
     # window to the live length (a handful of compiled variants).
@@ -100,7 +101,8 @@ def _attention(
             past_vec = jnp.broadcast_to(
                 jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
             ctx = decode_attention(
-                q, cache.k[layer_ix][:, :S], cache.v[layer_ix][:, :S],
+                q, cache.k[layer_ix][:, :S].reshape(B, S, H, Dk),
+                cache.v[layer_ix][:, :S].reshape(B, S, H, Dk),
                 past_vec, interpret=not on_tpu)
             ctx = ctx.reshape(B, N, D)
             out = _project(ctx, layer_params["o"], compute_dtype, allow_pallas)
@@ -108,15 +110,15 @@ def _attention(
 
     if compute_dtype == jnp.float32:
         # parity mode: widen the fp16 cache before the dots
-        k_all = cache.k[layer_ix][:, :S].astype(jnp.float32)
-        v_all = cache.v[layer_ix][:, :S].astype(jnp.float32)
+        k_all = cache.k[layer_ix][:, :S].reshape(B, S, H, Dk).astype(jnp.float32)
+        v_all = cache.v[layer_ix][:, :S].reshape(B, S, H, Dk).astype(jnp.float32)
         q_dot = q
     else:
         # fast mode: feed the fp16 cache straight into the dots (f32
         # accumulation) — materializing a widened copy costs ~144 MB/token
         # of fusion traffic at 347M
-        k_all = cache.k[layer_ix][:, :S]
-        v_all = cache.v[layer_ix][:, :S]
+        k_all = cache.k[layer_ix][:, :S].reshape(B, S, H, Dk)
+        v_all = cache.v[layer_ix][:, :S].reshape(B, S, H, Dk)
         q_dot = q.astype(cache.k.dtype)
 
     prec = precision_for(compute_dtype)
@@ -199,6 +201,56 @@ def forward(
     logits = logits[..., :config.n_vocab]
     if logits_mode == "last":
         logits = logits[:, 0, :]
+    return logits, cache
+
+
+def forward_fused_decode(
+    params: dict,
+    tokens: jax.Array,           # (1, 1) int32
+    cache: KVCache,
+    past: jax.Array,             # scalar int32
+    config: BioGptConfig,
+    compute_dtype=jnp.bfloat16,
+    kv_window: int = 128,        # static, >= past + 1
+    interpret: bool = False,
+) -> Tuple[jax.Array, KVCache]:
+    """Single-token decode through the whole-model Pallas megakernel.
+
+    Semantics match ``forward(..., N=1, causal=True, logits_mode="last")``
+    but the 24-layer stack runs as ONE kernel (ops/pallas_decode.py): only
+    embedding, the two KV-row writes, final LN, lm_head and the logits
+    slice remain as XLA ops — decode is op-issue bound on this runtime.
+    """
+    from ..ops.pallas_decode import decode_step_fused
+
+    B, N = tokens.shape
+    assert B == 1 and N == 1, "megakernel path is single-stream decode"
+    emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
+    pos = (jnp.asarray(past, jnp.int32) + config.pos_offset).reshape(1, 1)
+    pos_emb = embedding_lookup(pos, params["embed_positions"])
+    x0 = (emb + pos_emb).reshape(1, config.d_model)
+
+    L, _, S, D = cache.k.shape
+    x_out, k_rows, v_rows = decode_step_fused(
+        x0, params["layers"], cache.k, cache.v,
+        past, n_head=config.n_head, window=kv_window, ln_eps=config.ln_eps,
+        interpret=interpret)
+
+    # ONE cache write per tensor: every layer's new row lands at slot `past`
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, zero, jnp.asarray(past, jnp.int32), zero)
+    cache = KVCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_rows.reshape(L, 1, 1, D).astype(cache.k.dtype), idx),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_rows.reshape(L, 1, 1, D).astype(cache.v.dtype), idx),
+    )
+
+    x = _layer_norm(x_out, params["final_ln"]["w"], params["final_ln"]["b"],
+                    config.ln_eps)
+    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
+                    allow_pallas=True)
+    logits = logits[..., :config.n_vocab]
     return logits, cache
 
 

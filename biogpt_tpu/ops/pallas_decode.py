@@ -1,0 +1,440 @@
+"""Pallas TPU megakernel: the ENTIRE multi-layer decode step as one kernel.
+
+Round-1 profiling (tools/profile_decode.py) showed single-token decode is
+op-issue bound: ~610 device ops x ~2.3 us dispatch each, while the actual
+weight traffic is ~0.19 ms at this chip's HBM bandwidth. The reference
+builds its whole per-token graph as one unit too (biogpt.cpp:688-796) — the
+TPU-native equivalent is one ``pallas_call`` covering all layers:
+
+  grid = (n_layer, n_kv_blocks).  Step (l, j) processes KV block j of layer
+  l; Pallas's automatic pipelining double-buffers the next block's weight
+  planes HBM->VMEM while the current one computes (v5e VMEM is large enough
+  to hold two full layers). Per layer:
+
+    j == 0:   LN0 -> fused qkv dequant-matmul (X'-trick, one MXU op per
+              tile) -> per-head blockdiag Q -> reset online-softmax state
+    every j:  scores for KV block j via ONE MXU dot over the flat (KVB, D)
+              cache block; numerically-stable online softmax accumulation
+              (so the kernel is blockwise over the KV window — long-context
+              ready, SURVEY §5)
+    last j:   fold in the current token's k/v (computed in-kernel, never
+              round-tripped), o-proj, LN1, fc1 -> exact GELU -> fc2,
+              residuals; the new K/V rows stream out for a single
+              dynamic_update_slice per cache tensor outside.
+
+  The residual stream lives in a VMEM scratch that persists across grid
+  steps; only x0 enters and x_final/k_rows/v_rows leave.
+
+Quantized matmuls use the same block-structured X' formulation as
+``pallas_qmatmul`` (see that module): a block-masked activation matrix
+turns per-block partial sums into one MXU matmul, zero-point offsets fold
+into the epilogue via per-block activation sums, and 4-bit levels arrive
+packed two-per-byte (SWAR-unpacked through u32 lanes — Mosaic has no u8
+shifts).
+
+Attention avoids per-head kernels entirely: Q is expanded to a
+block-diagonal (H, D) matrix so scores for ALL heads come from a single
+(H, D) x (KVB, D)^T MXU dot against the cache block in its natural flat
+layout, and the context (H, D) collapses back to (1, D) with a head-mask
+multiply + sublane reduction. No head-batched dot_general (which Mosaic
+rejects), no (…, H, Dk) relayouts.
+
+GELU is exact-erf GELU (HF BioGPT parity) via the Abramowitz-Stegun 7.1.26
+polynomial (|erf err| < 1.5e-7 — far below bf16 activation rounding);
+Mosaic has no native erf.
+
+Constraints: batch=1, N=1 (decode), bf16 KV cache, lane-aligned dims.
+Multi-batch serving and prefill keep the per-op paths.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.codecs import QK
+from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
+
+_LANES = 128
+# Unpacked-weight-tile VMEM budget per matmul step (bytes of bf16).
+_TILE_BYTES = 4 * 1024 * 1024
+
+
+def _pick_tile(d_in: int, d_out: int) -> int:
+    """Largest lane-aligned d_out tile whose unpacked (d_in, tile) bf16
+    buffer stays within the per-matmul VMEM budget."""
+    cap = max(_LANES, _TILE_BYTES // (2 * d_in))
+    for t in (4096, 2048, 1024, 512, 256, _LANES):
+        if t <= cap and d_out % t == 0:
+            return t
+    return d_out  # small test shapes (< one lane tile)
+
+
+def _gelu_erf(x: jax.Array) -> jax.Array:
+    """Exact GELU via polynomial erf (Abramowitz & Stegun 7.1.26).
+
+    max |erf error| 1.5e-7 — Mosaic lacks erf/erfc; the tanh-approx GELU
+    would break parity with HF BioGPT (exact-gelu activation).
+    """
+    z = x * 0.7071067811865476
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_a = 1.0 - poly * jnp.exp(-a * a)
+    erf = jnp.where(z < 0, -erf_a, erf_a)
+    return 0.5 * x * (1.0 + erf)
+
+
+def _ln(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * w.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+# X' rows per matmul chunk: blocks-per-chunk. 32 blocks x QK=32 gives
+# (32, 1024) X' chunks — enough sublanes to feed the MXU without inflating
+# FLOPs by the full block count of wide inputs (fc2's d_in=4096 has 128
+# blocks; unchunked that is 4x the necessary MXU work).
+_CHUNK_BLOCKS = 32
+
+
+def _block_mask(nb: int, width: int) -> jax.Array:
+    """(nb, width) bf16 0/1 mask: mask[n, k] = (k // QK == n)."""
+    blk = jax.lax.broadcasted_iota(jnp.int32, (nb, width), 1) // QK
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, width), 0)
+    return (blk == row).astype(jnp.bfloat16)
+
+
+def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
+    """(1, d_in) bf16 @ quantized planes -> (1, d_out) f32 (no bias).
+
+    Same math as pallas_qmatmul._kernel: X' = block_mask * h makes the
+    per-block partial sums ONE MXU matmul per (d_in chunk, d_out tile);
+    scales apply to the (nb, tile) partials; the zero-point offset and
+    _1-format mins fold in via per-block activation sums.
+    """
+    d_in = h_bf.shape[-1]
+    d_out = sc_ref.shape[-1]
+    tile = _pick_tile(d_in, d_out)
+    chunk = min(d_in, _CHUNK_BLOCKS * QK)
+    n_chunks = d_in // chunk
+    nb_c = chunk // QK
+    mask = _block_mask(nb_c, chunk)
+
+    xps = [mask * h_bf[:, c * chunk:(c + 1) * chunk]      # (nb_c, chunk) bf16
+           for c in range(n_chunks)]
+    need_xsum = bool(offset) or mn_ref is not None
+    xsums = ([jnp.sum(xp.astype(jnp.float32), axis=1, keepdims=True)
+              for xp in xps] if need_xsum else None)
+
+    outs = []
+    for t0 in range(0, d_out, tile):
+        if packed:
+            u = lv_ref[0, :, t0:t0 + tile]                # (d_in//2, tile) u8
+            v32 = pltpu.bitcast(u, jnp.uint32)
+            lo = pltpu.bitcast(v32 & jnp.uint32(0x0F0F0F0F), jnp.uint8)
+            hi = pltpu.bitcast((v32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.uint8)
+            lvt = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
+                                jnp.int8).astype(jnp.bfloat16)
+        else:
+            lvt = lv_ref[0, :, t0:t0 + tile].astype(jnp.bfloat16)
+        col = None
+        for c in range(n_chunks):
+            partial = jnp.dot(xps[c], lvt[c * chunk:(c + 1) * chunk, :],
+                              preferred_element_type=jnp.float32)
+            if offset:
+                partial = partial - float(offset) * xsums[c]
+            b0 = c * nb_c
+            acc = partial * sc_ref[0, b0:b0 + nb_c, t0:t0 + tile].astype(
+                jnp.float32)
+            if mn_ref is not None:
+                acc = acc + xsums[c] * mn_ref[0, b0:b0 + nb_c,
+                                              t0:t0 + tile].astype(jnp.float32)
+            part = jnp.sum(acc, axis=0, keepdims=True)    # (1, tile)
+            col = part if col is None else col + part
+        outs.append(col)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+_NT = (((1,), (1,)), ((), ()))  # A @ B^T
+
+
+def _head_mask(H: int, D: int) -> jax.Array:
+    """(H, D) bf16 0/1: mask[h, d] = (d // (D//H) == h) — block-diagonal Q
+    expansion and context collapse."""
+    Dk = D // H
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // Dk
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    return (col == row).astype(jnp.bfloat16)
+
+
+def _make_kernel(names, *, D, H, KVB, eps, offset, packed, has_mins):
+    scale = 1.0 / math.sqrt(D // H)
+
+    def kernel(*refs):
+        r = dict(zip(names, refs))
+        n_in = len(names)
+        xout_ref, krow_ref, vrow_ref = refs[n_in:n_in + 3]
+        xres, qbd, kcur, vcur, msc, lsc, accsc = refs[n_in + 3:]
+
+        lyr = pl.program_id(0)
+        j = pl.program_id(1)
+        nW = pl.num_programs(1)
+        past = r["past"][0, 0]
+
+        def mn(name):
+            return r[name + "_mn"] if has_mins else None
+
+        def vec(name):
+            # per-layer vectors ship as (L, 1, d) so TPU block shapes stay
+            # legal; the block is (1, 1, d) -> read the (1, d) row
+            return r[name][0]
+
+        # ---- layer entry: LN0 + fused qkv projection, reset softmax state
+        @pl.when(j == 0)
+        def _start_layer():
+            @pl.when(lyr == 0)
+            def _():
+                xres[:] = r["x0"][:]
+
+            h = _ln(xres[:], vec("ln0w"), vec("ln0b"), eps)
+            h_bf = h.astype(jnp.bfloat16)
+            qkv = _qmm(h_bf, r["qkv_lv"], r["qkv_sc"], mn("qkv"),
+                       offset=offset, packed=packed)
+            qkv = qkv + vec("qkv_b").astype(jnp.float32)
+            q = qkv[:, :D] * scale
+            k = qkv[:, D:2 * D]
+            v = qkv[:, 2 * D:]
+            kcur[:] = k
+            vcur[:] = v
+            krow_ref[0] = k.astype(krow_ref.dtype)
+            vrow_ref[0] = v.astype(vrow_ref.dtype)
+            # block-diagonal Q: row h carries q_h in its head's columns
+            qbd[:] = _head_mask(H, D) * q.astype(jnp.bfloat16)
+            msc[:] = jnp.full_like(msc, -1e30)
+            lsc[:] = jnp.zeros_like(lsc)
+            accsc[:] = jnp.zeros_like(accsc)
+
+        # ---- one KV block: scores + online-softmax accumulation
+        kblk = r["kcache"][0, 0]                           # (KVB, D) bf16
+        vblk = r["vcache"][0, 0]
+        scores = jax.lax.dot_general(
+            qbd[:], kblk, _NT, preferred_element_type=jnp.float32)  # (H, KVB)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (H, KVB), 1) + j * KVB
+        valid = idx < past                                 # slot `past` is
+        masked = jnp.where(valid, scores, -1e30)           # the current token
+        m_prev = msc[:]
+        m_new = jnp.maximum(m_prev, jnp.max(masked, axis=1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        lsc[:] = lsc[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        accsc[:] = accsc[:] * alpha + jnp.dot(
+            p.astype(jnp.bfloat16), vblk, preferred_element_type=jnp.float32)
+        msc[:] = m_new
+
+        # ---- layer exit: current token, o-proj, FFN, residuals
+        @pl.when(j == nW - 1)
+        def _finish_layer():
+            # current token's score: qbd is block-diagonal, so a plain
+            # elementwise product with k_cur reduces to the per-head dot
+            cur = jnp.sum(qbd[:].astype(jnp.float32) * kcur[:],
+                          axis=1, keepdims=True)            # (H, 1)
+            m_prev2 = msc[:]
+            m_fin = jnp.maximum(m_prev2, cur)
+            alpha2 = jnp.exp(m_prev2 - m_fin)
+            p_cur = jnp.exp(cur - m_fin)
+            l_all = lsc[:] * alpha2 + p_cur
+            acc = accsc[:] * alpha2 + p_cur * vcur[:]       # (H, D) f32
+            ctx = acc / l_all
+            ctx_flat = jnp.sum(ctx * _head_mask(H, D).astype(jnp.float32),
+                               axis=0, keepdims=True)       # (1, D)
+            attn = _qmm(ctx_flat.astype(jnp.bfloat16), r["o_lv"], r["o_sc"],
+                        mn("o"), offset=offset, packed=packed)
+            x = xres[:] + attn + vec("o_b").astype(jnp.float32)
+
+            h2 = _ln(x, vec("ln1w"), vec("ln1b"), eps).astype(jnp.bfloat16)
+            f = _qmm(h2, r["fc1_lv"], r["fc1_sc"], mn("fc1"),
+                     offset=offset, packed=packed)
+            f = _gelu_erf(f + vec("fc1_b").astype(jnp.float32))
+            out = _qmm(f.astype(jnp.bfloat16), r["fc2_lv"], r["fc2_sc"],
+                       mn("fc2"), offset=offset, packed=packed)
+            xres[:] = x + out + vec("fc2_b").astype(jnp.float32)
+
+            @pl.when(lyr == pl.num_programs(0) - 1)
+            def _():
+                xout_ref[:] = xres[:]
+
+    return kernel
+
+
+def _kv_block(window: int) -> int:
+    """KV block size: cap VMEM at 512 slots; fall back to one block for odd
+    windows (engine buckets are powers of two, so this is the normal case)."""
+    if window > 512 and window % 512 == 0:
+        return 512
+    return window
+
+
+def supports_layers(layers: dict, cache_dtype, batch: int, n_new: int) -> bool:
+    """Whether the megakernel path applies to these engine-packed layers."""
+    if batch != 1 or n_new != 1 or cache_dtype != jnp.bfloat16:
+        return False
+    if "qkv" not in layers:
+        return False
+    qts = [layers[k]["w"] for k in ("qkv", "o", "fc1", "fc2")]
+    if not all(isinstance(w, QuantizedTensor) for w in qts):
+        return False
+    q0 = qts[0]
+    if not all(w.qtype == q0.qtype and w.packed == q0.packed for w in qts):
+        return False
+    if not all((w.mins is None) == (q0.mins is None) for w in qts):
+        return False
+    for w in qts:
+        d_out = w.scales.shape[-1]
+        d_in = w.scales.shape[-2] * QK
+        if d_out % _LANES != 0 or (w.packed and d_in % (2 * QK) != 0):
+            return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "window", "ln_eps", "interpret", "kv_block"))
+def decode_step_fused(
+    x0: jax.Array,
+    layers: dict,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    past: jax.Array,
+    *,
+    n_head: int,
+    window: int,
+    ln_eps: float = 1e-5,
+    interpret: bool = False,
+    kv_block: int | None = None,  # override KV block size (tests)
+):
+    """One full decode step over all layers (see module docstring).
+
+    Returns (x_final (1, D) f32, k_rows (L, D), v_rows (L, D) in cache
+    dtype). ``k_cache``/``v_cache`` are flat-D views (L, 1, S, D); the
+    caller writes the returned rows at slot ``past``.
+    """
+    L, _, S, D = k_cache.shape
+    H = n_head
+    qkv: QuantizedTensor = layers["qkv"]["w"]
+    F = layers["fc1"]["w"].scales.shape[-1]
+    packed = qkv.packed
+    has_mins = qkv.mins is not None
+    offset = LEVEL_OFFSET[qkv.qtype] if packed else 0
+    W = min(window, S)
+    KVB = kv_block or _kv_block(W)
+    if W % KVB != 0:
+        raise ValueError(f"window {W} not divisible by kv_block {KVB}")
+    nW = W // KVB
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda l, j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, j: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def as_rows(a):
+        # per-layer vectors (L, d) -> (L, 1, d): TPU block shapes must have
+        # their last two dims (8, 128)-aligned or equal to the array dims
+        return jnp.asarray(a).reshape(a.shape[0], 1, a.shape[-1])
+
+    names = ["past", "x0", "ln0w", "ln0b", "ln1w", "ln1b"]
+    args = [jnp.broadcast_to(jnp.asarray(past, jnp.int32), (1, 1)),
+            x0.astype(jnp.float32),
+            as_rows(layers["ln0"]["w"]), as_rows(layers["ln0"]["b"]),
+            as_rows(layers["ln1"]["w"]), as_rows(layers["ln1"]["b"])]
+    in_specs = [pl.BlockSpec((1, 1), lambda l, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                const((1, D)),
+                per_layer((1, D)), per_layer((1, D)),
+                per_layer((1, D)), per_layer((1, D))]
+
+    for name in ("qkv", "o", "fc1", "fc2"):
+        w: QuantizedTensor = layers[name]["w"]
+        lv_rows, d_out = w.levels.shape[-2], w.levels.shape[-1]
+        nb = w.scales.shape[-2]
+        names += [f"{name}_lv", f"{name}_sc"]
+        args += [w.levels, w.scales]
+        in_specs += [per_layer((lv_rows, d_out)), per_layer((nb, d_out))]
+        if has_mins:
+            names.append(f"{name}_mn")
+            args.append(w.mins)
+            in_specs.append(per_layer((nb, d_out)))
+        names.append(f"{name}_b")
+        args.append(as_rows(layers[name]["b"]))
+        in_specs.append(per_layer((1, d_out)))
+
+    names += ["kcache", "vcache"]
+    args += [k_cache, v_cache]
+    kv_spec = pl.BlockSpec((1, 1, KVB, D), lambda l, j: (l, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs += [kv_spec, kv_spec]
+
+    cache_dtype = k_cache.dtype
+    row_spec = pl.BlockSpec((1, 1, D), lambda l, j: (l, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, D), lambda l, j: (0, 0), memory_space=pltpu.VMEM),
+        row_spec,
+        row_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, D), cache_dtype),
+        jax.ShapeDtypeStruct((L, 1, D), cache_dtype),
+    ]
+
+    scratch = [
+        pltpu.VMEM((1, D), jnp.float32),    # xres — residual stream
+        pltpu.VMEM((H, D), jnp.bfloat16),   # qbd — block-diagonal Q
+        pltpu.VMEM((1, D), jnp.float32),    # kcur
+        pltpu.VMEM((1, D), jnp.float32),    # vcur
+        pltpu.VMEM((H, 1), jnp.float32),    # msc — running max
+        pltpu.VMEM((H, 1), jnp.float32),    # lsc — running denom
+        pltpu.VMEM((H, D), jnp.float32),    # accsc — running P@V
+    ]
+
+    kernel = _make_kernel(names, D=D, H=H, KVB=KVB, eps=ln_eps,
+                          offset=offset, packed=packed, has_mins=has_mins)
+
+    # bytes: levels+scales+biases per layer, KV window, outputs
+    wbytes = sum(int(jnp.size(layers[n]["w"].levels))
+                 * layers[n]["w"].levels.dtype.itemsize
+                 + int(jnp.size(layers[n]["w"].scales)) * 2
+                 for n in ("qkv", "o", "fc1", "fc2"))
+    kv_bytes = 2 * L * W * D * 2
+    cost = pl.CostEstimate(
+        flops=2 * L * (D * 3 * D + D * D + 2 * D * F + 2 * H * W * D),
+        bytes_accessed=wbytes + kv_bytes,
+        transcendentals=L * (H * W + F),
+    )
+
+    x_out, k_rows, v_rows = pl.pallas_call(
+        kernel,
+        grid=(L, nW),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return x_out, k_rows.reshape(L, D), v_rows.reshape(L, D)

@@ -11,7 +11,8 @@ inserts the all-gathers/reduce-scatters (over ICI) from these annotations:
   fc2            (d_ff, d_model):    row-parallel over d_ff
   lm_head        (d_model, n_vocab): column-parallel over vocab
   embed_tokens   (n_vocab, d_model): row(vocab)-sharded lookup table
-  KV cache       (L, B, S, H, Dk):   batch over "data", heads over "model"
+  KV cache       (L, B, S, D):       batch over "data", d_model (= whole
+                                     contiguous head groups) over "model"
 
 QuantizedTensor leaves shard the same logical dim on levels AND scales
 (/mins): the scale plane's block axis is d_in // 32, so a d_in shard maps
@@ -82,8 +83,12 @@ def param_pspecs(params: dict) -> dict:
 
 
 def cache_pspec(batch_shardable: bool = True) -> KVCache:
-    """(L, B, S, H, Dk): batch over data (when divisible), heads over model."""
-    spec = P(None, DATA_AXIS if batch_shardable else None, None, MODEL_AXIS, None)
+    """(L, B, S, D): batch over data (when divisible), d_model over model.
+
+    Heads are contiguous in the flat d_model axis, so sharding D by the
+    model axis IS head sharding (each shard owns n_head/tp whole heads —
+    column-parallel q/k/v produce exactly these rows locally)."""
+    spec = P(None, DATA_AXIS if batch_shardable else None, None, MODEL_AXIS)
     return KVCache(k=spec, v=spec)
 
 

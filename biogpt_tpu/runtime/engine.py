@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BioGptConfig, GenerationParams
-from ..models.biogpt import forward
+from ..models.biogpt import forward, forward_fused_decode
 from .cache import KVCache, init_cache
 from .sampling import greedy, sample_top_k_top_p
 
@@ -140,17 +140,6 @@ class Engine:
     ):
         self.config = config
         self.compute_dtype = compute_dtype
-        # fp16 KV cache (the north-star upgrade over the reference's f32).
-        # The experimental fused-attention kernel needs bf16 (Mosaic has no
-        # f16): it is selected automatically when that kernel is enabled.
-        if cache_dtype is None:
-            from ..ops import pallas_attention
-            cache_dtype = (jnp.bfloat16
-                           if (pallas_attention.ENABLED and pack_q4
-                               and mesh is None
-                               and compute_dtype != jnp.float32)
-                           else jnp.float16)
-        self.cache_dtype = cache_dtype
         self.causal = causal
         self.max_seq = max_seq or config.n_positions
         self.mesh = mesh
@@ -162,6 +151,23 @@ class Engine:
         self.allow_pallas = mesh is None and pack_q4
         if pack_q4 and mesh is None:
             params = _pack_matmul_weights(params)
+
+        # Whole-model decode megakernel (ops/pallas_decode.py): single-
+        # stream decode runs ALL layers as one Pallas kernel. Needs a bf16
+        # KV cache (Mosaic has no f16 vectors) and fused+packed quantized
+        # layer weights; greedy/sampled decode at batch=1, causal only.
+        from ..ops.pallas_decode import supports_layers
+        self._fused_decode = (
+            mesh is None and pack_q4 and causal
+            and compute_dtype != jnp.float32
+            and cache_dtype in (None, jnp.bfloat16)
+            and supports_layers(params.get("layers", {}), jnp.bfloat16,
+                                batch=1, n_new=1))
+        # fp16 KV cache (the north-star upgrade over the reference's f32);
+        # bf16 when the megakernel path is live.
+        if cache_dtype is None:
+            cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
+        self.cache_dtype = cache_dtype
         if mesh is not None:
             from ..parallel.sharding import shard_params
             self.params = shard_params(params, mesh)
@@ -174,14 +180,22 @@ class Engine:
         self._step = jax.jit(
             forward, static_argnames=static, donate_argnames=donate)
 
+        self._interpret = jax.default_backend() != "tpu"
+
         def decode_and_sample(params, tok, cache, past, rng, temp, top_p,
                               out_buf, out_ix, *, top_k: int, use_greedy: bool,
-                              kv_window: int):
-            logits, cache = forward(
-                params, tok, cache, past, self.config,
-                compute_dtype=self.compute_dtype, causal=self.causal,
-                allow_pallas=self.allow_pallas, logits_mode="last",
-                kv_window=kv_window)
+                              kv_window: int, use_fused: bool = False):
+            if use_fused:
+                logits, cache = forward_fused_decode(
+                    params, tok, cache, past, self.config,
+                    compute_dtype=self.compute_dtype, kv_window=kv_window,
+                    interpret=self._interpret)
+            else:
+                logits, cache = forward(
+                    params, tok, cache, past, self.config,
+                    compute_dtype=self.compute_dtype, causal=self.causal,
+                    allow_pallas=self.allow_pallas, logits_mode="last",
+                    kv_window=kv_window)
             if use_greedy:
                 nxt = greedy(logits)
             else:
@@ -196,8 +210,24 @@ class Engine:
 
         self._decode_sample = jax.jit(
             decode_and_sample,
-            static_argnames=("top_k", "use_greedy", "kv_window"),
+            static_argnames=("top_k", "use_greedy", "kv_window", "use_fused"),
             donate_argnames=donate + (("out_buf",) if donate_cache else ()))
+
+        def fused_step(params, tok, cache, past, *, kv_window: int):
+            return forward_fused_decode(
+                params, tok, cache, past, self.config,
+                compute_dtype=self.compute_dtype, kv_window=kv_window,
+                interpret=self._interpret)
+
+        self._fused_step = jax.jit(
+            fused_step, static_argnames=("kv_window",), donate_argnames=donate)
+
+    def _use_fused(self) -> bool:
+        """Megakernel gate, evaluated per call (honors set_pallas_mode)."""
+        from ..ops.qmatmul import _PALLAS_MODE
+        if not self._fused_decode or _PALLAS_MODE is False:
+            return False
+        return (not self._interpret) or _PALLAS_MODE is True
 
     # ------------------------------------------------------------- plumbing
 
@@ -259,6 +289,10 @@ class Engine:
         """One-token decode. Returns (logits(B,V), cache)."""
         tok = jnp.asarray(token, jnp.int32).reshape(1, 1)
         window = self._window(int(past) + 1) if isinstance(past, int) else None
+        if window is not None and self._use_fused() and cache.batch == 1:
+            return self._fused_step(
+                self.params, tok, cache, jnp.asarray(past, jnp.int32),
+                kv_window=window)
         logits, cache = self._step(
             self.params, tok, cache, jnp.asarray(past, jnp.int32), self.config,
             compute_dtype=self.compute_dtype, causal=self.causal, allow_pallas=self.allow_pallas,
@@ -344,6 +378,7 @@ class Engine:
         steps = 0
         past_dev = jnp.int32(past)
         out_ix = jnp.int32(queued)
+        use_fused = self._use_fused()
         while queued < n_predict and not stopped:
             budget = min(chunk, n_predict - queued)
             window = self._window(past + queued + budget)
@@ -351,7 +386,8 @@ class Engine:
                 tok, cache, rng, out_buf, past_dev, out_ix = self._decode_sample(
                     self.params, tok, cache, past_dev, rng, temp,
                     top_p, out_buf, out_ix,
-                    top_k=gen.top_k, use_greedy=use_greedy, kv_window=window)
+                    top_k=gen.top_k, use_greedy=use_greedy, kv_window=window,
+                    use_fused=use_fused)
                 queued += 1
                 steps += 1
             drain()

@@ -78,7 +78,7 @@ class BatchedEngine:
             """Copy a prefilled single-sequence cache into slot b and set
             its length."""
             zero = jnp.zeros((), jnp.int32)
-            idx = (zero, jnp.asarray(slot, jnp.int32), zero, zero, zero)
+            idx = (zero, jnp.asarray(slot, jnp.int32), zero, zero)
             return KVCache(
                 k=jax.lax.dynamic_update_slice(big.k, small.k, idx),
                 v=jax.lax.dynamic_update_slice(big.v, small.v, idx),

@@ -31,21 +31,30 @@ from ..runtime.sampling import greedy
 
 
 def profile_decode(params, config: BioGptConfig, steps: int = 32,
-                   kv_window: int = 512, trace_dir: str | None = None) -> dict:
+                   kv_window: int = 512, trace_dir: str | None = None,
+                   fused: bool = False) -> dict:
     """Returns {"ms_per_step": float, "categories": [(pct, ms, n_ops, mb, name)]}."""
+    from ..models.biogpt import forward_fused_decode
     from ..runtime.engine import _pack_matmul_weights
 
     params = jax.device_put(_pack_matmul_weights(params))
 
-    def step(params, tok, cache, past):
-        logits, cache = forward(params, tok, cache, past, config,
-                                compute_dtype=jnp.bfloat16, allow_pallas=True,
-                                kv_window=kv_window)
-        return greedy(logits)[:, None], cache, past + 1
+    if fused:
+        def step(params, tok, cache, past):
+            logits, cache = forward_fused_decode(
+                params, tok, cache, past, config,
+                compute_dtype=jnp.bfloat16, kv_window=kv_window)
+            return greedy(logits)[:, None], cache, past + 1
+    else:
+        def step(params, tok, cache, past):
+            logits, cache = forward(params, tok, cache, past, config,
+                                    compute_dtype=jnp.bfloat16,
+                                    allow_pallas=True, kv_window=kv_window)
+            return greedy(logits)[:, None], cache, past + 1
 
     jit_step = jax.jit(step, donate_argnames=("cache",))
     cache = init_cache(config, batch=1, max_len=config.n_positions,
-                       dtype=jnp.float16)
+                       dtype=jnp.bfloat16 if fused else jnp.float16)
     tok = jnp.full((1, 1), 17, jnp.int32)
     past = jnp.int32(0)
     for _ in range(steps):
@@ -89,6 +98,8 @@ def main(argv=None) -> int:
     p.add_argument("--kv-window", type=int, default=512)
     p.add_argument("--trace-dir", default=None,
                    help="keep the raw trace here (for TensorBoard/xprof UI)")
+    p.add_argument("--fused", action="store_true",
+                   help="profile the whole-model megakernel decode path")
     args = p.parse_args(argv)
 
     if args.model:
@@ -101,7 +112,8 @@ def main(argv=None) -> int:
         params = make_random_quantized_params(config, GGML_TYPE_Q4_0, seed=0)
 
     r = profile_decode(params, config, steps=args.steps,
-                       kv_window=args.kv_window, trace_dir=args.trace_dir)
+                       kv_window=args.kv_window, trace_dir=args.trace_dir,
+                       fused=args.fused)
     print(f"device time: {r['ms_per_step']:.3f} ms/step "
           f"(trace: {r['trace_dir']})")
     print(f"{'%':>6s} {'ms/step':>9s} {'ops/step':>9s} {'MB/step':>9s}  category")

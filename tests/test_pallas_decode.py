@@ -1,0 +1,154 @@
+"""Whole-model decode megakernel vs the per-op XLA oracle (interpret mode).
+
+The megakernel (ops/pallas_decode.py) must reproduce forward(N=1,
+causal=True) step for step: same cache evolution, same greedy tokens,
+logits within bf16-path tolerance.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from biogpt_tpu.config import BioGptConfig
+from biogpt_tpu.modelio.checkpoint import params_from_state_dict
+from biogpt_tpu.modelio.synthetic import make_state_dict
+from biogpt_tpu.models.biogpt import forward, forward_fused_decode
+from biogpt_tpu.ops.pallas_decode import supports_layers, _gelu_erf, _pick_tile
+from biogpt_tpu.quant import codecs
+from biogpt_tpu.runtime.cache import init_cache
+from biogpt_tpu.runtime.engine import _pack_matmul_weights
+
+CFG = BioGptConfig.tiny(d_model=128, d_ff=256, n_head=2, n_layer=3,
+                        n_vocab=256, n_positions=64)
+
+
+def _packed_params(qtype, seed=0):
+    sd = make_state_dict(CFG, seed=seed)
+    params = params_from_state_dict(sd, CFG, qtype=qtype)
+    return _pack_matmul_weights(params)
+
+
+def _run_parallel_steps(qtype, window, kv_block, n_steps=5, prompt_len=4,
+                        seed=0):
+    """Prefill once with the oracle, then step fused + oracle side by side
+    feeding both the ORACLE's greedy token (so caches stay comparable)."""
+    params = _packed_params(qtype, seed=seed)
+    rng = np.random.RandomState(seed + 1)
+    prompt = rng.randint(3, CFG.n_vocab, size=(1, prompt_len)).astype(np.int32)
+
+    cache_o = init_cache(CFG, batch=1, max_len=CFG.n_positions,
+                         dtype=jnp.bfloat16)
+    logits_o, cache_o = forward(
+        params, jnp.asarray(prompt), cache_o, jnp.int32(0), CFG,
+        compute_dtype=jnp.bfloat16, causal=True, logits_mode="last",
+        allow_pallas=False)
+    # fused cache starts as a copy of the oracle prefill
+    cache_f = cache_o
+
+    tok = int(np.asarray(logits_o).argmax(-1)[0])
+    past = prompt_len
+    for _ in range(n_steps):
+        t = jnp.asarray([[tok]], jnp.int32)
+        logits_o, cache_o = forward(
+            params, t, cache_o, jnp.int32(past), CFG,
+            compute_dtype=jnp.bfloat16, causal=True, logits_mode="last",
+            allow_pallas=False, kv_window=window)
+        logits_f, cache_f = forward_fused_decode(
+            params, t, cache_f, jnp.int32(past), CFG,
+            compute_dtype=jnp.bfloat16, kv_window=window, interpret=True)
+        yield (np.asarray(logits_o), np.asarray(logits_f),
+               cache_o, cache_f, past)
+        tok = int(np.asarray(logits_o).argmax(-1)[0])
+        past += 1
+
+
+@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q4_0,
+                                   codecs.GGML_TYPE_Q4_1,
+                                   codecs.GGML_TYPE_Q5_0,
+                                   codecs.GGML_TYPE_Q8_0])
+def test_fused_decode_matches_oracle(qtype):
+    for logits_o, logits_f, cache_o, cache_f, past in _run_parallel_steps(
+            qtype, window=16, kv_block=None):
+        assert logits_o.argmax(-1) == logits_f.argmax(-1)
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+        # the cache row written this step must match the oracle's
+        ko = np.asarray(cache_o.k[:, :, past], np.float32)
+        kf = np.asarray(cache_f.k[:, :, past], np.float32)
+        np.testing.assert_allclose(kf, ko, rtol=5e-2, atol=0.1)
+
+
+def test_fused_decode_blockwise_kv():
+    """Multi-block KV windows (online softmax across grid steps) must agree
+    with the single-block result."""
+    runs = {}
+    for kvb in (None, 8):
+        outs = []
+        for logits_o, logits_f, *_ in _run_parallel_steps(
+                codecs.GGML_TYPE_Q4_0, window=32, kv_block=kvb, n_steps=4,
+                prompt_len=9):
+            outs.append(logits_f)
+        runs[kvb] = np.stack(outs)
+    np.testing.assert_allclose(runs[8], runs[None], rtol=1e-3, atol=1e-3)
+
+
+def test_fused_decode_blockwise_kv_vs_oracle():
+    for logits_o, logits_f, *_ in _run_parallel_steps(
+            codecs.GGML_TYPE_Q4_0, window=32, kv_block=8, n_steps=4,
+            prompt_len=9):
+        assert logits_o.argmax(-1) == logits_f.argmax(-1)
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+
+
+def test_supports_layers():
+    layers = _packed_params(codecs.GGML_TYPE_Q4_0)["layers"]
+    assert supports_layers(layers, jnp.bfloat16, batch=1, n_new=1)
+    assert not supports_layers(layers, jnp.float16, batch=1, n_new=1)
+    assert not supports_layers(layers, jnp.bfloat16, batch=2, n_new=1)
+    assert not supports_layers(layers, jnp.bfloat16, batch=1, n_new=4)
+    # unfused q/k/v (no engine packing) is not supported
+    raw = params_from_state_dict(make_state_dict(CFG, seed=0), CFG,
+                                 qtype=codecs.GGML_TYPE_Q4_0)
+    assert not supports_layers(raw["layers"], jnp.bfloat16, 1, 1)
+
+
+def test_gelu_erf_polynomial_accuracy():
+    import jax
+
+    x = jnp.linspace(-8, 8, 4097, dtype=jnp.float32)
+    got = np.asarray(_gelu_erf(x))
+    expect = np.asarray(jax.nn.gelu(x, approximate=False))
+    np.testing.assert_allclose(got, expect, atol=3e-7, rtol=1e-5)
+
+
+def test_pick_tile_divides():
+    for d_in, d_out in [(1024, 3072), (1024, 1024), (1024, 4096),
+                        (4096, 1024), (128, 384), (128, 256), (256, 128)]:
+        t = _pick_tile(d_in, d_out)
+        assert d_out % t == 0
+        assert t * d_in * 2 <= 8 * 1024 * 1024
+
+
+def test_engine_generate_fused_matches_per_op():
+    """Engine e2e: greedy generation through the megakernel equals the
+    per-op path token-for-token (CPU interpret mode, forced pallas)."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.runtime.engine import Engine
+
+    sd = make_state_dict(CFG, seed=7)
+    params = params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_0)
+    gen = GenerationParams(n_predict=10, temp=0.0, seed=0, stop_at_eos=False)
+    prompt = [2, 41, 7, 19]
+
+    eng = Engine(CFG, params, compute_dtype=jnp.bfloat16)
+    assert eng._fused_decode and eng.cache_dtype == jnp.bfloat16
+    try:
+        set_pallas_mode(True)   # CPU: run kernels in interpret mode
+        assert eng._use_fused()
+        fused_ids = eng.generate(prompt, gen).ids
+        set_pallas_mode(False)  # per-op XLA path on the same engine/cache
+        assert not eng._use_fused()
+        plain_ids = eng.generate(prompt, gen).ids
+    finally:
+        set_pallas_mode("auto")
+    assert fused_ids == plain_ids
