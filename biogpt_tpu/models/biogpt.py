@@ -134,8 +134,10 @@ def _attention(
         valid = pos_s <= pos_n
     else:
         # reference-compat: every new token sees the whole written range of
-        # REAL tokens (bucket padding must stay invisible)
-        valid = pos_s < past_b + n_valid
+        # REAL tokens (bucket padding must stay invisible); n_valid may be
+        # scalar or per-row (B,)
+        nv = jnp.broadcast_to(jnp.atleast_1d(n_valid), (B,))[:, None, None, None]
+        valid = pos_s < past_b + nv
     scores = jnp.where(valid, scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)
 
@@ -194,7 +196,14 @@ def forward(
     x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"], config.ln_eps)
     if logits_mode == "last":
         idx = jnp.asarray(N - 1 if last_index is None else last_index, jnp.int32)
-        x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
+        if idx.ndim == 0:
+            x = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)
+        else:
+            # per-row last positions (batched mixed-length prefill): one
+            # gather along the sequence axis
+            x = jnp.take_along_axis(
+                x, jnp.broadcast_to(idx[:, None, None], (B, 1, x.shape[-1])),
+                axis=1)
     logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
                     allow_pallas=allow_pallas)
     # the lm_head may be lane-padded for the Pallas kernel; keep real vocab

@@ -59,3 +59,43 @@ def sample_top_k_top_p(
     probs, top_ids = top_k_top_p_probs(logits, top_k, top_p, temp)
     choice = jax.random.categorical(rng, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
     return jnp.take_along_axis(top_ids, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_top_k",))
+def sample_per_request(
+    rng: jax.Array,
+    logits: jax.Array,           # (B, V)
+    top_k: jax.Array,            # (B,) int32  — per-request k (<= max_top_k)
+    top_p: jax.Array,            # (B,) float32
+    temp: jax.Array,             # (B,) float32; <= 0 means greedy for that row
+    max_top_k: int = 64,
+) -> jax.Array:
+    """(B,) token ids with PER-REQUEST sampling parameters.
+
+    Continuous batching mixes requests with different temp/top_k/top_p in
+    one lockstep step (no reference counterpart — the reference has no
+    batching at all). Same truncation semantics as sample_top_k_top_p,
+    vectorized with masks: take the static max_top_k candidates, mask rows
+    beyond each request's own top_k, apply its top_p cut, and route
+    temp <= 0 rows to argmax.
+    """
+    B, V = logits.shape
+    k_max = min(max_top_k, V)
+    temp = jnp.broadcast_to(jnp.asarray(temp, jnp.float32), (B,))[:, None]
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,))[:, None]
+    top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,))[:, None]
+
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-8)
+    top_logits, top_ids = jax.lax.top_k(scaled, k_max)           # sorted desc
+    rank = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    in_k = rank < jnp.minimum(top_k, k_max)
+    top_logits = jnp.where(in_k, top_logits, -jnp.inf)
+    probs = jax.nn.softmax(top_logits, axis=-1)
+    cumsum = jnp.cumsum(probs, axis=-1)
+    keep = (((cumsum - probs) < top_p) | (top_p >= 1.0)) & in_k
+    probs = jnp.where(keep, probs, 0.0)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    choice = jax.random.categorical(
+        rng, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
+    sampled = jnp.take_along_axis(top_ids, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(temp[:, 0] <= 0.0, greedy(logits), sampled).astype(jnp.int32)

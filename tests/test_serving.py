@@ -74,3 +74,45 @@ def test_eos_stops_request(tiny_params, single_engine):
     results = be.serve(reqs, gen)
     assert results[0].new_ids[-1] == eos
     assert len(results[0].new_ids) <= 2
+
+
+def test_per_request_sampling_params(tiny_params, single_engine):
+    """A greedy request (temp=0 override) must match single-engine greedy
+    even when batched alongside a high-temperature request."""
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    reqs = [Request(prompt_ids=[2, 5, 9], n_predict=6, request_id=0,
+                    temp=0.0),
+            Request(prompt_ids=[2, 7, 11], n_predict=6, request_id=1,
+                    temp=1.5, top_k=50, top_p=0.95)]
+    # serve defaults are sampled — request 0 overrides to greedy
+    results = be.serve(reqs, GenerationParams(temp=0.9, seed=3,
+                                              stop_at_eos=False))
+    assert results[0].ids == _expected(single_engine, [2, 5, 9], 6)
+    assert len(results[1].new_ids) == 6
+    # sampled request produces valid token ids
+    assert all(0 <= t < TINY.n_vocab for t in results[1].new_ids)
+
+
+def test_sampled_serving_deterministic_by_seed(tiny_params):
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    reqs = [Request(prompt_ids=[2, 5, 9], n_predict=5, request_id=0),
+            Request(prompt_ids=[2, 8], n_predict=5, request_id=1)]
+    gen = GenerationParams(temp=0.8, seed=42, stop_at_eos=False)
+    a = be.serve(list(reqs), gen)
+    b = be.serve(list(reqs), gen)
+    assert {k: v.ids for k, v in a.items()} == {k: v.ids for k, v in b.items()}
+
+
+def test_batched_refill_mixed_lengths(tiny_params, single_engine):
+    """Startup refill prefills mixed-length prompts as bucketed batches;
+    results must still match single-request greedy."""
+    prompts = [[2, 5], [2, 6, 7, 8, 9, 10, 11], [2, 3, 4], [2, 9, 1, 2]]
+    be = BatchedEngine(TINY, tiny_params, max_batch=4,
+                       compute_dtype=jnp.float32, chunk=4)
+    reqs = [Request(prompt_ids=p, n_predict=5, request_id=i)
+            for i, p in enumerate(prompts)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    for i, p in enumerate(prompts):
+        assert results[i].ids == _expected(single_engine, p, 5), i

@@ -7,6 +7,8 @@ import time
 
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/biogpt_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 from biogpt_tpu.config import BioGptConfig
