@@ -126,6 +126,10 @@ class Engine:
     north-star upgrade over the reference's F32 cache).
     """
 
+    # decode steps per scan dispatch (non-streaming generate): fixed so a
+    # generation compiles one scan program per KV-window bucket
+    SCAN_LEN = 64
+
     def __init__(
         self,
         config: BioGptConfig,
@@ -221,6 +225,47 @@ class Engine:
 
         self._fused_step = jax.jit(
             fused_step, static_argnames=("kv_window",), donate_argnames=donate)
+
+        def decode_scan(params, tok, cache, past, rng, temp, top_p,
+                        out_buf, out_ix, done, eos_id, *, n_steps: int,
+                        top_k: int, use_greedy: bool, kv_window: int,
+                        use_fused: bool, check_eos: bool):
+            """``n_steps`` fused decode+sample steps under ONE dispatch.
+
+            Two runtime costs force this shape (both measured, see
+            RESULTS.md): binding the real arguments costs ~0.7 ms/call —
+            2x the megakernel's device time — so steps run under one
+            ``lax.scan``; and a device->host fetch after a large program
+            stalls ~60 ms, so EOS is detected ON DEVICE (``done`` carry;
+            post-EOS steps collapse to a ``cond`` no-op) and the host
+            drains the token ring ONCE per generation.
+            """
+            def step(operand):
+                tok, cache, past, rng, out_buf, out_ix = operand
+                tok, cache, rng, out_buf, past, out_ix = decode_and_sample(
+                    params, tok, cache, past, rng, temp, top_p, out_buf,
+                    out_ix, top_k=top_k, use_greedy=use_greedy,
+                    kv_window=kv_window, use_fused=use_fused)
+                return tok, cache, past, rng, out_buf, out_ix
+
+            def body(carry, _):
+                done = carry[-1]
+                operand = carry[:-1]
+                operand = jax.lax.cond(done, lambda c: c, step, operand)
+                if check_eos:
+                    done = done | (operand[0][0, 0] == eos_id)
+                return operand + (done,), None
+
+            init = (tok, cache, past, rng, out_buf, out_ix, done)
+            (tok, cache, past, rng, out_buf, out_ix, done), _ = jax.lax.scan(
+                body, init, None, length=n_steps)
+            return tok, cache, rng, out_buf, past, out_ix, done
+
+        self._decode_scan = jax.jit(
+            decode_scan,
+            static_argnames=("n_steps", "top_k", "use_greedy", "kv_window",
+                             "use_fused", "check_eos"),
+            donate_argnames=donate + (("out_buf",) if donate_cache else ()))
 
     def _use_fused(self) -> bool:
         """Megakernel gate, evaluated per call (honors set_pallas_mode)."""
@@ -321,14 +366,17 @@ class Engine:
         use_greedy = gen.temp <= 0
         temp = jnp.float32(max(gen.temp, 1e-8))
         top_p = jnp.float32(gen.top_p)
-        # Speculative chunking: enqueue `chunk` fused steps, then fetch the
+        # Speculative chunking: run `chunk` fused steps, then fetch the
         # device-side token buffer in ONE device->host transfer to emit
         # tokens and check EOS. If EOS landed mid-chunk the extra steps are
         # discarded (the cache dies with the generation, so over-advancing
         # it is harmless). Streaming fetches every token for latency;
         # otherwise fetches are kept rare — device->host reads are far more
-        # expensive than decode steps.
-        chunk = 1 if stream_cb is not None else 64
+        # expensive than decode steps. Non-streaming chunks run as ONE
+        # lax.scan dispatch (see decode_scan): per-call argument binding on
+        # this runtime costs ~2x the megakernel itself.
+        streaming = stream_cb is not None
+        chunk = 1 if streaming else self.SCAN_LEN
 
         # Cap by the KV-cache length (max_seq), not just n_positions: decode
         # writes cache rows at prompt_len..prompt_len+n-2, and
@@ -357,7 +405,12 @@ class Engine:
 
         stopped = False
         emitted = 0
-        out_buf = jnp.zeros((max(n_predict, 1),), jnp.int32)
+        # scan chunks over-generate past n_predict (the tail chunk runs to
+        # its full static length; extras are discarded) — size the ring so
+        # those writes never clamp onto a live slot
+        buf_len = (max(n_predict, 1) if streaming
+                   else 1 + -(-(n_predict - 1) // chunk) * chunk)
+        out_buf = jnp.zeros((buf_len,), jnp.int32)
         out_buf = jax.lax.dynamic_update_slice(out_buf, tok[0], (0,))
         queued = 1   # tokens materialized in out_buf (incl. the prefill one)
 
@@ -365,7 +418,7 @@ class Engine:
             """One transfer: emit all queued tokens, detect EOS."""
             nonlocal stopped, emitted
             vals = np.asarray(jax.block_until_ready(out_buf))
-            while emitted < queued and not stopped:
+            while emitted < min(queued, n_predict) and not stopped:
                 tid = int(vals[emitted])
                 ids.append(tid)
                 emitted += 1
@@ -379,18 +432,40 @@ class Engine:
         past_dev = jnp.int32(past)
         out_ix = jnp.int32(queued)
         use_fused = self._use_fused()
+        # on-device EOS flag for the scan path (the prefill-sampled first
+        # token may already be EOS)
+        done_dev = (tok[0, 0] == gen.eos_token_id if gen.stop_at_eos
+                    else jnp.asarray(False))
         while queued < n_predict and not stopped:
-            budget = min(chunk, n_predict - queued)
-            window = self._window(past + queued + budget)
-            for _ in range(budget):
-                tok, cache, rng, out_buf, past_dev, out_ix = self._decode_sample(
+            if streaming:
+                budget = min(chunk, n_predict - queued)
+                window = self._window(past + queued + budget)
+                for _ in range(budget):
+                    tok, cache, rng, out_buf, past_dev, out_ix = \
+                        self._decode_sample(
+                            self.params, tok, cache, past_dev, rng, temp,
+                            top_p, out_buf, out_ix, top_k=gen.top_k,
+                            use_greedy=use_greedy, kv_window=window,
+                            use_fused=use_fused)
+                    queued += 1
+                    steps += 1
+                drain()
+            else:
+                # one dispatch = `chunk` steps; the tail chunk over-generates
+                # into the oversized ring (extras discarded at drain); NO
+                # mid-generation drain — EOS is handled on device and the
+                # single fetch below collects the whole ring
+                window = self._window(past + queued + chunk)
+                (tok, cache, rng, out_buf, past_dev, out_ix,
+                 done_dev) = self._decode_scan(
                     self.params, tok, cache, past_dev, rng, temp,
-                    top_p, out_buf, out_ix,
-                    top_k=gen.top_k, use_greedy=use_greedy, kv_window=window,
-                    use_fused=use_fused)
-                queued += 1
-                steps += 1
-            drain()
+                    top_p, out_buf, out_ix, done_dev,
+                    jnp.int32(gen.eos_token_id), n_steps=chunk,
+                    top_k=gen.top_k, use_greedy=use_greedy,
+                    kv_window=window, use_fused=use_fused,
+                    check_eos=gen.stop_at_eos)
+                steps += min(chunk, n_predict - queued)
+                queued += chunk
         drain()
         t_decode = time.perf_counter() - td
 
