@@ -1,6 +1,7 @@
-"""Benchmark: Q4_0 BioGPT-347M decode throughput on one TPU chip.
+"""Benchmark: BioGPT-347M on one TPU chip — decode, prefill, serving.
 
-Prints ONE JSON line:
+Prints one JSON line per metric; the FIRST line is the headline decode
+throughput:
   {"metric": "q4_0_decode_tokens_per_sec", "value": N, "unit": "tokens/s",
    "vs_baseline": N / 125.0, ...}
 
@@ -8,13 +9,21 @@ Baseline anchor: the reference's Q4_0 decode at 8 ms/token on M1 Pro
 (BASELINE.md) = 125 tokens/s; the north star is >= 10x that on one chip.
 
 Weights are random in real Q4_0 plane layout (no checkpoint is available in
-this offline environment) — decode throughput is weight-value-independent.
-Extra diagnostic metrics go to stderr.
+this offline environment) — throughput is weight-value-independent.
+Diagnostics go to stderr.
 
 Timing methodology: this runtime acknowledges block_until_ready before
 device work completes, so every measurement ends with a real device->host
-fetch of the token chain, and the per-step cost is the MARGINAL time
-between a long and a short run (fixed fetch/queue costs cancel).
+fetch, and per-step cost is the MARGINAL time between a long and a short
+run (fixed fetch/queue costs cancel). The decode number drives the
+production Engine.generate path: megakernel decode steps scanned 64 per
+dispatch, EOS on device, one token fetch per generation.
+
+Env:
+  BENCH_QTYPE=q4_0..q8_0|f32   quant family (default q4_0)
+  BENCH_PACK_Q4=0              disable the packed Pallas path
+  BENCH_SERVING=0              skip the serving aggregate metric
+  BENCH_PREFILL=0              skip the prefill metric
 """
 
 import json
@@ -25,30 +34,119 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
-import jax.numpy as jnp
 
-from biogpt_tpu.config import BioGptConfig
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/biogpt_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from biogpt_tpu.config import BioGptConfig, GenerationParams
 from biogpt_tpu.modelio.synthetic import make_random_quantized_params, make_state_dict
 from biogpt_tpu.modelio.checkpoint import params_from_state_dict
-from biogpt_tpu.models.biogpt import forward
 from biogpt_tpu.quant.codecs import GGML_TYPE_BY_NAME
-from biogpt_tpu.runtime.cache import init_cache
-from biogpt_tpu.runtime.engine import _pack_matmul_weights
-from biogpt_tpu.runtime.sampling import greedy
+from biogpt_tpu.runtime.engine import Engine
 
 # reference per-token decode latencies on M1 Pro (BASELINE.md)
 BASELINES_TOK_S = {"q4_0": 125.0, "q4_1": 1000 / 9, "q5_0": 100.0,
                    "q5_1": 1000 / 11, "q8_0": 100.0, "f32": 50.0}
 BASELINE_TOKENS_PER_SEC = 125.0  # Q4_0 anchor: 8 ms/token, reference README.md:56
+# the reference has no prefill/serving counterpart numbers; anchor both
+# against the same per-token rate (BASELINE.md publishes decode only)
+PROMPT = list(range(2, 18))
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> int:  # noqa: C901
+def emit(metric: str, value: float, unit: str, baseline: float, **extra) -> None:
+    print(json.dumps({
+        "metric": metric, "value": round(value, 2), "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+        "device": str(jax.devices()[0]), **extra,
+    }), flush=True)
+
+
+def bench_decode(eng: Engine, qname: str) -> None:
+    gen_s = GenerationParams(n_predict=64, temp=0.0, stop_at_eos=False)
+    gen_l = GenerationParams(n_predict=320, temp=0.0, stop_at_eos=False)
+    eng.generate(PROMPT, gen_s)
+    t1 = time.perf_counter()
+    rs = eng.generate(PROMPT, gen_s)
+    t_short = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    rl = eng.generate(PROMPT, gen_l)
+    t_long = time.perf_counter() - t2
+    n = len(rl.new_ids) - len(rs.new_ids)
+    dt = t_long - t_short
+    tok_s = n / dt
+    log(f"decode: {tok_s:.1f} tok/s marginal ({dt/n*1e3:.3f} ms/token), "
+        f"absolute(long)={len(rl.new_ids)/t_long:.1f} tok/s")
+    emit(f"{qname}_decode_tokens_per_sec", tok_s, "tokens/s",
+         BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
+         ms_per_token=round(dt / n * 1e3, 4),
+         absolute_tokens_per_sec=round(len(rl.new_ids) / t_long, 2))
+
+
+def bench_prefill(eng: Engine, qname: str) -> None:
+    n_prompt = 512
+    ids = np.arange(2, 2 + n_prompt) % 40000
+    for _ in range(2):   # compile + warm the 512 bucket
+        logits, cache, _ = eng.prefill(eng.new_cache(), ids)
+        jax.block_until_ready(logits)
+        del cache
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            logits, cache, _ = eng.prefill(eng.new_cache(), ids)
+            jax.block_until_ready(logits)
+            del cache
+        return time.perf_counter() - t0
+
+    t_short, t_long = run(2), run(6)
+    tok_s = (6 - 2) * n_prompt / (t_long - t_short)
+    log(f"prefill({n_prompt}): {tok_s:.0f} tok/s marginal")
+    emit(f"{qname}_prefill_tokens_per_sec", tok_s, "tokens/s",
+         BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
+         prompt_len=n_prompt)
+
+
+def bench_serving(params, config, qname: str, single_stream_tok_s: float) -> None:
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    B, n_pred = 8, 48
+    be = BatchedEngine(config, params, max_batch=B,
+                       compute_dtype=jnp.bfloat16, cache_dtype=jnp.float16,
+                       max_seq=512, chunk=16)
+    rng = np.random.default_rng(0)
+
+    def make_reqs(n):
+        return [Request(prompt_ids=[2] + rng.integers(4, 40000, size=int(
+            rng.integers(4, 24))).tolist(), n_predict=n_pred, request_id=i)
+            for i in range(n)]
+
+    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+    be.serve(make_reqs(B), gen)          # compile + warm
+    reqs = make_reqs(3 * B)
+    t0 = time.perf_counter()
+    results = be.serve(reqs, gen)
+    dt = time.perf_counter() - t0
+    total_new = sum(len(r.new_ids) for r in results.values())
+    agg = total_new / dt
+    log(f"serving: {agg:.1f} tok/s aggregate over {len(reqs)} reqs at B={B} "
+        f"({agg / max(single_stream_tok_s, 1e-9):.2f}x single-stream)")
+    emit(f"{qname}_serving_agg_tokens_per_sec", agg, "tokens/s",
+         BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
+         batch_slots=B, n_requests=len(reqs),
+         x_single_stream=round(agg / max(single_stream_tok_s, 1e-9), 2))
+
+
+def main() -> int:
     config = BioGptConfig()
-    qname = os.environ.get("BENCH_QTYPE", "q4_0")  # q4_0..q8_0 | f32
+    qname = os.environ.get("BENCH_QTYPE", "q4_0")
+    use_pallas = os.environ.get("BENCH_PACK_Q4", "1") == "1"
     log(f"devices: {jax.devices()}")
     log(f"building {qname} params (random, real layout)...")
     if qname == "f32":
@@ -56,64 +154,26 @@ def main() -> int:  # noqa: C901
     else:
         params = make_random_quantized_params(
             config, GGML_TYPE_BY_NAME[qname], seed=0)
-    use_pallas = os.environ.get("BENCH_PACK_Q4", "1") == "1"
-    if use_pallas:   # Pallas packed-kernel path (default; fastest measured)
-        params = _pack_matmul_weights(params)
-    params = jax.device_put(params)
 
-    def step(params, tok, cache, past):
-        # kv_window 512 covers the 433 decode positions this bench reaches
-        # (the engine buckets this dynamically per chunk)
-        logits, cache = forward(params, tok, cache, past, config,
-                                compute_dtype=jnp.bfloat16,
-                                allow_pallas=use_pallas, kv_window=512)
-        # past advances on device: per-step host->device scalar uploads cost
-        # several times the model step itself
-        return greedy(logits)[:, None], cache, past + 1
-
-    jit_step = jax.jit(step, donate_argnames=("cache",))
-
-    cache = init_cache(config, batch=1, max_len=config.n_positions,
-                       dtype=jnp.float16)
-
-    # prefill a short prompt region by decoding a few warmup tokens
-    tok = jnp.full((1, 1), 17, jnp.int32)
-    past = jnp.int32(0)
-    log("compiling decode step...")
+    eng = Engine(config, params, compute_dtype=jnp.bfloat16,
+                 pack_q4=use_pallas)
+    log(f"megakernel={eng._fused_decode}; warming up (compile ~20-40s/program"
+        f" + one-time deep-queue warmup, can take minutes)...")
     t0 = time.perf_counter()
-    tok, cache, past = jit_step(params, tok, cache, past)
-    import numpy as np
-    _ = int(np.asarray(tok)[0, 0])          # real sync (fetch)
-    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    eng.warmup(prompt_len=len(PROMPT), n_tokens=320, sampled=False)
+    log(f"warmup: {time.perf_counter() - t0:.1f}s")
 
-    def run(n):
-        nonlocal tok, cache, past
-        t0 = time.perf_counter()
-        for _ in range(n):
-            tok, cache, past = jit_step(params, tok, cache, past)
-        _ = int(np.asarray(tok)[0, 0])      # forces the whole chain
-        return time.perf_counter() - t0
+    gen_s = GenerationParams(n_predict=64, temp=0.0, stop_at_eos=False)
+    t1 = time.perf_counter()
+    rs = eng.generate(PROMPT, gen_s)
+    single_abs = len(rs.new_ids) / (time.perf_counter() - t1)
 
-    run(48)                                  # warmup (absorbs runtime quirks)
-    t_short = run(64)
-    t_long = run(320)
-    n_steps = 320 - 64
-    dt = t_long - t_short                    # marginal: fixed costs cancel
-
-    tokens_per_sec = n_steps / dt
-    ms_per_token = dt / n_steps * 1e3
-    log(f"decode: {tokens_per_sec:.1f} tokens/s ({ms_per_token:.3f} ms/token) "
-        f"over {n_steps} steps at past~{past}")
-
-    print(json.dumps({
-        "metric": f"{qname}_decode_tokens_per_sec",
-        "value": round(tokens_per_sec, 2),
-        "unit": "tokens/s",
-        "vs_baseline": round(
-            tokens_per_sec / BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC), 3),
-        "ms_per_token": round(ms_per_token, 4),
-        "device": str(jax.devices()[0]),
-    }))
+    bench_decode(eng, qname)
+    if os.environ.get("BENCH_PREFILL", "1") == "1":
+        bench_prefill(eng, qname)
+    del eng
+    if os.environ.get("BENCH_SERVING", "1") == "1":
+        bench_serving(params, config, qname, single_abs)
     return 0
 
 

@@ -104,24 +104,26 @@ class BatchedEngine:
         self._prefill_jit = jax.jit(
             forward, static_argnames=static, donate_argnames=("cache",))
 
-        def insert_slots(big: KVCache, small: KVCache, slots):
-            """Copy prefilled rows of a batched temp cache into their slots.
+        def insert_slots(big: KVCache, small: KVCache, src_row, mask):
+            """Merge prefilled rows of a batched temp cache into their slots.
 
-            slots: static tuple of slot indices; row r of ``small`` goes to
-            slot slots[r]. Unrolled — refill groups are <= B rows."""
-            zero = jnp.zeros((), jnp.int32)
-            k, v = big.k, big.v
-            for r, slot in enumerate(slots):
-                idx = (zero, jnp.asarray(slot, jnp.int32), zero, zero)
-                k = jax.lax.dynamic_update_slice(k, small.k[:, r:r + 1], idx)
-                v = jax.lax.dynamic_update_slice(v, small.v[:, r:r + 1], idx)
-            return KVCache(k=k, v=v)
+            ``src_row`` (B,) int32: for slot s, which row of ``small`` fills
+            it; ``mask`` (B,) bool: whether slot s is refilled at all. A
+            gather + select keeps this ONE compiled program for every refill
+            pattern — per-pattern shapes (the round-1 static-slots design)
+            compile-stormed through the 20-40 s/program remote compiler.
+            """
+            m = mask[None, :, None, None]
+            return KVCache(
+                k=jnp.where(m, small.k[:, src_row], big.k),
+                v=jnp.where(m, small.v[:, src_row], big.v),
+            )
 
         self._insert_slots = jax.jit(
-            insert_slots, static_argnames=("slots",), donate_argnames=("big",))
+            insert_slots, donate_argnames=("big",))
 
         def batched_step(params, toks, cache, lengths, rng, temps, top_ps,
-                         top_ks, out_buf, out_ix):
+                         top_ks, out_buf, out_ix, kv_window):
             """One lockstep decode step over all B slots.
 
             toks (B, 1); lengths (B,) per-slot positions; temps/top_ps/
@@ -131,7 +133,8 @@ class BatchedEngine:
             logits, cache = forward(
                 params, toks, cache, lengths, self.config,
                 compute_dtype=self.compute_dtype,
-                allow_pallas=self.allow_pallas, logits_mode="last")
+                allow_pallas=self.allow_pallas, logits_mode="last",
+                kv_window=kv_window)
             rng, sub = jax.random.split(rng)
             nxt = sample_per_request(sub, logits, top_ks, top_ps, temps,
                                      max_top_k=self.MAX_TOP_K)
@@ -140,8 +143,37 @@ class BatchedEngine:
             return (nxt[:, None], cache, lengths + 1, rng, out_buf,
                     out_ix + 1)
 
-        self._step = jax.jit(
-            batched_step, donate_argnames=("cache", "out_buf"))
+        def step_scan(params, toks, cache, lengths, rng, temps, top_ps,
+                      top_ks, out_buf, *, n_steps: int, kv_window: int):
+            """``n_steps`` lockstep steps under ONE dispatch (argument
+            binding costs ~0.7 ms/call on this runtime — see engine)."""
+            def body(carry, _):
+                toks, cache, lengths, rng, out_buf, out_ix = carry
+                return batched_step(params, toks, cache, lengths, rng,
+                                    temps, top_ps, top_ks, out_buf, out_ix,
+                                    kv_window), None
+            init = (toks, cache, lengths, rng, out_buf, jnp.int32(0))
+            (toks, cache, lengths, rng, out_buf, _), _ = jax.lax.scan(
+                body, init, None, length=n_steps)
+            return toks, cache, lengths, rng, out_buf
+
+        self._step_scan = jax.jit(
+            step_scan, static_argnames=("n_steps", "kv_window"),
+            donate_argnames=("cache", "out_buf"))
+
+        def apply_refill(toks, lengths, first_buf, temps, top_ps, top_ks,
+                         firsts, lens_b, n_temps, n_tps, n_tks,
+                         src_row, mask):
+            """Scatter per-slot state for refilled slots (fixed shape: one
+            compiled program for every refill pattern)."""
+            def sel(new, old):
+                return jnp.where(mask, new[src_row], old)
+            toks = jnp.where(mask[:, None], firsts[src_row][:, None], toks)
+            return (toks, sel(lens_b, lengths), sel(firsts, first_buf),
+                    sel(n_temps, temps), sel(n_tps, top_ps),
+                    sel(n_tks, top_ks))
+
+        self._apply_refill = jax.jit(apply_refill)
 
     def new_cache(self) -> KVCache:
         return init_cache(self.config, batch=self.B, max_len=self.max_seq,
@@ -152,32 +184,49 @@ class BatchedEngine:
     def _prefill_group(self, pairs, cache: KVCache, rng, gen):
         """Prefill several (slot, request) pairs as ONE batched forward.
 
-        All prompts pad to the group's bucket; per-row last_index extracts
-        each prompt's real final logits. Returns (cache, first_tokens (n,),
-        lengths (n,), rng) — first tokens sampled with each request's own
-        params.
+        The batch is always padded to B rows and prompts pad to the group's
+        bucket, so serving compiles exactly ONE prefill program per prompt
+        bucket (the remote compiler costs 20-40 s/program — per-group-size
+        shapes compile-stormed). Per-row last_index extracts each prompt's
+        real final logits; dummy rows are masked out of the cache insert.
+        Returns (cache, new_state (B,)-vectors, src_row, mask, lens, rng) —
+        first tokens sampled with each request's own params; new_state is
+        scattered into the per-slot vectors by _apply_refill.
         """
-        slots = tuple(slot for slot, _ in pairs)
         lens = [len(req.prompt_ids) for _, req in pairs]
         n = len(pairs)
         padded = min(_bucket(max(lens)), self.max_seq)
-        ids = np.zeros((n, padded), dtype=np.int32)
+        ids = np.zeros((self.B, padded), dtype=np.int32)
+        last = np.zeros((self.B,), dtype=np.int32)
         for r, (_, req) in enumerate(pairs):
             ids[r, :lens[r]] = req.prompt_ids
-        small = init_cache(self.config, batch=n, max_len=self.max_seq,
+            last[r] = lens[r] - 1
+        small = init_cache(self.config, batch=self.B, max_len=self.max_seq,
                            dtype=self.cache_dtype)
         logits, small = self._prefill_jit(
             self.params, jnp.asarray(ids), small, jnp.int32(0), self.config,
             compute_dtype=self.compute_dtype, allow_pallas=False,
-            logits_mode="last",
-            last_index=jnp.asarray(np.asarray(lens) - 1, jnp.int32))
-        cache = self._insert_slots(cache, small, slots)
+            logits_mode="last", last_index=jnp.asarray(last))
+        # slot s <- small row src_row[s] where masked
+        src_row = np.zeros((self.B,), dtype=np.int32)
+        mask = np.zeros((self.B,), dtype=bool)
+        for r, (slot, _) in enumerate(pairs):
+            src_row[slot] = r
+            mask[slot] = True
+        src_row_d, mask_d = jnp.asarray(src_row), jnp.asarray(mask)
+        cache = self._insert_slots(cache, small, src_row_d, mask_d)
+        reqs = [req for _, req in pairs]
+        # pad the sampling vectors to B rows (dummy rows sample from dummy
+        # logits; never emitted)
         temps, top_ps, top_ks = self._gen_vectors(
-            [req for _, req in pairs], gen)
+            reqs + [Request(prompt_ids=[0])] * (self.B - n), gen)
         rng, sub = jax.random.split(rng)
         firsts = sample_per_request(sub, logits, top_ks, top_ps, temps,
                                     max_top_k=self.MAX_TOP_K)
-        return cache, firsts, lens, rng
+        lens_b = np.zeros((self.B,), dtype=np.int32)
+        lens_b[:n] = lens
+        new = (firsts, jnp.asarray(lens_b), temps, top_ps, top_ks)
+        return cache, new, src_row_d, mask_d, lens, rng
 
     @staticmethod
     def _gen_vectors(reqs, gen: GenerationParams):
@@ -251,18 +300,12 @@ class BatchedEngine:
                 b = _bucket(len(req.prompt_ids))
                 by_bucket.setdefault(b, []).append((slot, req))
             for group in by_bucket.values():
-                cache, firsts, lens, rng = self._prefill_group(
+                cache, new, src_row, mask, lens, rng = self._prefill_group(
                     group, cache, rng, gen)
-                g_slots = [slot for slot, _ in group]
-                g_temps, g_tps, g_tks = self._gen_vectors(
-                    [req for _, req in group], gen)
-                sl = jnp.asarray(g_slots, jnp.int32)
-                toks = toks.at[sl, 0].set(firsts)
-                lengths = lengths.at[sl].set(jnp.asarray(lens, jnp.int32))
-                first_buf = first_buf.at[sl].set(firsts)
-                temps = temps.at[sl].set(g_temps)
-                top_ps = top_ps.at[sl].set(g_tps)
-                top_ks = top_ks.at[sl].set(g_tks)
+                (toks, lengths, first_buf, temps, top_ps,
+                 top_ks) = self._apply_refill(
+                    toks, lengths, first_buf, temps, top_ps, top_ks,
+                    *new, src_row, mask)
                 for r, (slot, req) in enumerate(group):
                     slot_req[slot] = req
                     slot_emitted[slot] = 0
@@ -297,14 +340,15 @@ class BatchedEngine:
             if all(slot_done(b) for b in range(self.B)):
                 break
 
-            # decode a chunk in lockstep; inactive slots compute garbage
-            # that the host simply doesn't emit
+            # decode a chunk in lockstep under ONE scan dispatch (per-step
+            # dispatch + argument binding dominates otherwise); inactive
+            # slots compute garbage that the host simply doesn't emit
+            window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
+                         self.max_seq)
             out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
-            out_ix = jnp.int32(0)
-            for _ in range(self.chunk):
-                toks, cache, lengths, rng, out_buf, out_ix = self._step(
-                    self.params, toks, cache, lengths, rng, temps, top_ps,
-                    top_ks, out_buf, out_ix)
+            toks, cache, lengths, rng, out_buf = self._step_scan(
+                self.params, toks, cache, lengths, rng, temps, top_ps,
+                top_ks, out_buf, n_steps=self.chunk, kv_window=window)
             # ONE transfer fetches first tokens + the whole chunk block
             fetched = np.asarray(jax.block_until_ready(
                 jnp.concatenate([first_buf, out_buf.reshape(-1)])))
