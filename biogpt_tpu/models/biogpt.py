@@ -44,10 +44,18 @@ def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Arr
     return y * w.astype(jnp.float32) + b.astype(jnp.float32)
 
 
-def _project(x, wb, compute_dtype, allow_pallas=True):
-    return (matmul(x, wb["w"], compute_dtype=compute_dtype,
-                   allow_pallas=allow_pallas)
-            + wb["b"].astype(jnp.float32))
+def _project(x, wb, compute_dtype, allow_pallas=True, psum_axis=None):
+    """x @ w [+ psum over a row-parallel shard axis] + b.
+
+    ``psum_axis``: under shard_map tensor parallelism the row-parallel
+    projections (o, fc2) hold a d_in shard, so each shard's matmul is a
+    partial sum — reduced here BEFORE the (replicated) bias is added.
+    """
+    y = matmul(x, wb["w"], compute_dtype=compute_dtype,
+               allow_pallas=allow_pallas)
+    if psum_axis is not None:
+        y = jax.lax.psum(y, psum_axis)
+    return y + wb["b"].astype(jnp.float32)
 
 
 def _attention(
@@ -62,9 +70,14 @@ def _attention(
     n_valid: jax.Array,          # scalar int32: real (unpadded) new-token count
     allow_pallas: bool,
     kv_window: Optional[int],    # static: attend over cache[:kv_window] only
+    tp_axis: Optional[str] = None,   # shard_map model axis (TP)
+    tp_size: int = 1,
 ) -> Tuple[jax.Array, KVCache]:
     B, N, D = x.shape
-    H, Dk = config.n_head, config.d_kv
+    # Under shard_map TP each shard owns n_head/tp contiguous heads: q/k/v
+    # are column-parallel so the local projection emits exactly those rows,
+    # and attention below is entirely shard-local.
+    H, Dk = config.n_head // tp_size, config.d_kv
     scaling = 1.0 / math.sqrt(Dk)
 
     if "qkv" in layer_params:   # engine-fused projection (one kernel)
@@ -104,8 +117,9 @@ def _attention(
                 q, cache.k[layer_ix][:, :S].reshape(B, S, H, Dk),
                 cache.v[layer_ix][:, :S].reshape(B, S, H, Dk),
                 past_vec, interpret=not on_tpu)
-            ctx = ctx.reshape(B, N, D)
-            out = _project(ctx, layer_params["o"], compute_dtype, allow_pallas)
+            ctx = ctx.reshape(B, N, H * Dk)
+            out = _project(ctx, layer_params["o"], compute_dtype,
+                           allow_pallas, psum_axis=tp_axis)
             return out, cache
 
     if compute_dtype == jnp.float32:
@@ -144,8 +158,9 @@ def _attention(
     attn_dot = attn if compute_dtype == jnp.float32 else attn.astype(cache.v.dtype)
     ctx = jnp.einsum("bhns,bshd->bnhd", attn_dot, v_all,
                      preferred_element_type=jnp.float32, precision=prec)
-    ctx = ctx.reshape(B, N, D)
-    out = _project(ctx, layer_params["o"], compute_dtype, allow_pallas)
+    ctx = ctx.reshape(B, N, H * Dk)
+    out = _project(ctx, layer_params["o"], compute_dtype, allow_pallas,
+                   psum_axis=tp_axis)
     return out, cache
 
 
@@ -163,6 +178,8 @@ def forward(
                                       # cache[:kv_window] (must cover past+N)
     last_index: Optional[jax.Array] = None,  # for "last": position of the
                                              # real final token (padded prefill)
+    tp_axis: Optional[str] = None,    # shard_map model-parallel axis name
+    tp_size: int = 1,                 # static size of that axis
 ) -> Tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Pure; jit at the call site with
     ``static_argnames=("config", "compute_dtype", "causal", "logits_mode")``.
@@ -170,6 +187,11 @@ def forward(
     Returns (logits, cache): logits (B, n_vocab) for "last" or (B, N,
     n_vocab) for "all" — the reference extracts last-position logits only
     (biogpt.cpp:842-844); "all" serves scoring/perplexity.
+
+    ``tp_axis``: when called as the per-shard body of a ``shard_map``
+    (parallel/tp.py), names the Megatron tensor-parallel mesh axis —
+    q/k/v/fc1/lm_head are column-parallel shards and run local, o/fc2 are
+    row-parallel and psum at their joins, logits all_gather at the end.
     """
     B, N = tokens.shape
     emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
@@ -185,12 +207,13 @@ def forward(
         h = _layer_norm(x, layer["ln0"]["w"], layer["ln0"]["b"], config.ln_eps)
         attn_out, cache = _attention(
             layer, h, cache, i, past, config, compute_dtype, causal, n_valid,
-            allow_pallas, kv_window)
+            allow_pallas, kv_window, tp_axis=tp_axis, tp_size=tp_size)
         x = x + attn_out
         h = _layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], config.ln_eps)
         h = _project(h, layer["fc1"], compute_dtype, allow_pallas)
         h = jax.nn.gelu(h, approximate=False)
-        h = _project(h, layer["fc2"], compute_dtype, allow_pallas)
+        h = _project(h, layer["fc2"], compute_dtype, allow_pallas,
+                     psum_axis=tp_axis)
         x = x + h
 
     x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"], config.ln_eps)
@@ -206,6 +229,10 @@ def forward(
                 axis=1)
     logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
                     allow_pallas=allow_pallas)
+    if tp_axis is not None:
+        # column-parallel lm_head: gather the vocab shards (tiny vs a
+        # replicated 42k-vocab matmul; rides ICI)
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     # the lm_head may be lane-padded for the Pallas kernel; keep real vocab
     logits = logits[..., :config.n_vocab]
     if logits_mode == "last":
@@ -215,45 +242,53 @@ def forward(
 
 def forward_fused_decode(
     params: dict,
-    tokens: jax.Array,           # (1, 1) int32
+    tokens: jax.Array,           # (B, 1) int32, B <= 8
     cache: KVCache,
-    past: jax.Array,             # scalar int32
+    past: jax.Array,             # scalar int32, or (B,) per-slot positions
     config: BioGptConfig,
     compute_dtype=jnp.bfloat16,
-    kv_window: int = 128,        # static, >= past + 1
+    kv_window: int = 128,        # static, >= max(past) + 1
     interpret: bool = False,
+    kv_block: Optional[int] = None,  # KV block-size override (tests)
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode through the whole-model Pallas megakernel.
 
     Semantics match ``forward(..., N=1, causal=True, logits_mode="last")``
-    but the 24-layer stack runs as ONE kernel (ops/pallas_decode.py): only
-    embedding, the two KV-row writes, final LN, lm_head and the logits
-    slice remain as XLA ops — decode is op-issue bound on this runtime.
+    but the layer stack runs as ONE kernel (ops/pallas_decode.py): only
+    embedding, the KV-row writes, final LN, lm_head and the logits slice
+    remain as XLA ops — decode is op-issue bound on this runtime. Batched
+    serving (B <= 8) passes per-slot ``past`` positions.
     """
     from ..ops.pallas_decode import decode_step_fused
 
     B, N = tokens.shape
-    assert B == 1 and N == 1, "megakernel path is single-stream decode"
+    assert N == 1 and B <= 8, "megakernel path is decode with B <= 8"
     emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
-    pos = (jnp.asarray(past, jnp.int32) + config.pos_offset).reshape(1, 1)
+    past_vec = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
+    pos = past_vec.reshape(B, 1) + config.pos_offset
     pos_emb = embedding_lookup(pos, params["embed_positions"])
-    x0 = (emb + pos_emb).reshape(1, config.d_model)
+    x0 = (emb + pos_emb).reshape(B, config.d_model)
 
     L, _, S, D = cache.k.shape
     x_out, k_rows, v_rows = decode_step_fused(
         x0, params["layers"], cache.k, cache.v,
-        past, n_head=config.n_head, window=kv_window, ln_eps=config.ln_eps,
-        interpret=interpret)
+        past_vec, n_head=config.n_head, window=kv_window,
+        ln_eps=config.ln_eps, interpret=interpret, kv_block=kv_block)
 
-    # ONE cache write per tensor: every layer's new row lands at slot `past`
+    # ONE cache write per (tensor, slot): every layer's new row for slot b
+    # lands at that slot's own position
     zero = jnp.zeros((), jnp.int32)
-    idx = (zero, zero, jnp.asarray(past, jnp.int32), zero)
-    cache = KVCache(
-        k=jax.lax.dynamic_update_slice(
-            cache.k, k_rows.reshape(L, 1, 1, D).astype(cache.k.dtype), idx),
-        v=jax.lax.dynamic_update_slice(
-            cache.v, v_rows.reshape(L, 1, 1, D).astype(cache.v.dtype), idx),
-    )
+    k_new, v_new = cache.k, cache.v
+    for b in range(B):
+        idx = (zero, jnp.int32(b), past_vec[b], zero)
+        k_new = jax.lax.dynamic_update_slice(
+            k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(k_new.dtype),
+            idx)
+        v_new = jax.lax.dynamic_update_slice(
+            v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(v_new.dtype),
+            idx)
+    cache = KVCache(k=k_new, v=v_new)
 
     x = _layer_norm(x_out, params["final_ln"]["w"], params["final_ln"]["b"],
                     config.ln_eps)

@@ -43,8 +43,19 @@ GELU is exact-erf GELU (HF BioGPT parity) via the Abramowitz-Stegun 7.1.26
 polynomial (|erf err| < 1.5e-7 — far below bf16 activation rounding);
 Mosaic has no native erf.
 
-Constraints: batch=1, N=1 (decode), bf16 KV cache, lane-aligned dims.
-Multi-batch serving and prefill keep the per-op paths.
+Batched serving (2 <= B <= 8) runs the same grid with a batched kernel
+variant: per-slot positions arrive as an SMEM vector, attention runs one
+2-D MXU dot per slot against its own cache rows (head-batched AND
+batch-batched dot_general are both Mosaic-hostile), and the online-softmax
+state is carried for all B*H head-rows at once. The quantized matmuls
+switch formulation: at M rows the X'-trick costs M times the MXU work, so
+the batched path materializes the dequantized weight tile in VMEM instead
+— scales expand to rows via a block-diagonal 0/1 expansion matmul (exact:
+each output is a sum of ONE scale term) and a single (M, d_in) x (d_in,
+tile) dot serves all rows, amortizing dequant over the batch.
+
+Constraints: batch <= 8, N=1 (decode), bf16 KV cache, lane-aligned dims.
+Prefill keeps the per-op paths.
 """
 
 from __future__ import annotations
@@ -164,6 +175,59 @@ def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
+def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
+    """(M, d_in) bf16 @ quantized planes -> (M, d_out) f32, dequant-then-dot.
+
+    The M>1 formulation (see module docstring): per (chunk, tile) piece the
+    scales expand to d_in rows with a block-diagonal 0/1 matmul E (chunk,
+    nb_c) — each expanded entry is a sum of exactly one bf16 scale, so the
+    expansion is EXACT — the weight piece dequantizes in f32, rounds once
+    to bf16 (same numerics as pallas_qmatmul), and one MXU dot serves all
+    M activation rows.
+    """
+    M, d_in = h_bf.shape
+    d_out = sc_ref.shape[-1]
+    tile = _pick_tile(d_in, d_out)
+    chunk = min(d_in, _CHUNK_BLOCKS * QK)
+    n_chunks = d_in // chunk
+    nb_c = chunk // QK
+    kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 0) // QK
+    nn = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 1)
+    expand = (kk == nn).astype(jnp.bfloat16)              # (chunk, nb_c)
+
+    outs = []
+    for t0 in range(0, d_out, tile):
+        if packed:
+            u = lv_ref[0, :, t0:t0 + tile]                # (d_in//2, tile) u8
+            v32 = pltpu.bitcast(u, jnp.uint32)
+            lo = pltpu.bitcast(v32 & jnp.uint32(0x0F0F0F0F), jnp.uint8)
+            hi = pltpu.bitcast((v32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.uint8)
+            lvt = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
+                                jnp.int8).astype(jnp.bfloat16)
+        else:
+            lvt = lv_ref[0, :, t0:t0 + tile].astype(jnp.bfloat16)
+        acc = None
+        for c in range(n_chunks):
+            b0 = c * nb_c
+            sexp = jnp.dot(expand,
+                           sc_ref[0, b0:b0 + nb_c, t0:t0 + tile].astype(
+                               jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            w = (lvt[c * chunk:(c + 1) * chunk, :].astype(jnp.float32)
+                 - float(offset)) * sexp
+            if mn_ref is not None:
+                w = w + jnp.dot(
+                    expand,
+                    mn_ref[0, b0:b0 + nb_c, t0:t0 + tile].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            part = jnp.dot(h_bf[:, c * chunk:(c + 1) * chunk],
+                           w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 _NT = (((1,), (1,)), ((), ()))  # A @ B^T
 
 
@@ -275,6 +339,132 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, has_mins):
     return kernel
 
 
+def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
+                         has_mins):
+    """Batched (B <= 8) variant of :func:`_make_kernel`.
+
+    Differences from the single-stream kernel: ``past`` is a per-slot SMEM
+    vector; Q/K/V rows are (B, D); the block-diagonal Q trick is applied
+    per slot (qbd row b*H+h carries slot b's head h) and scores come from
+    one 2-D MXU dot PER SLOT against that slot's cache block — the
+    online-softmax state then updates for all B*H head-rows at once.
+    Matmuls use the dequant-then-dot formulation (:func:`_qmm_dq`).
+    """
+    scale = 1.0 / math.sqrt(D // H)
+    Dk = D // H
+    BH = B * H
+
+    def kernel(*refs):
+        r = dict(zip(names, refs))
+        n_in = len(names)
+        xout_ref, krow_ref, vrow_ref = refs[n_in:n_in + 3]
+        xres, qbd, kcur, vcur, msc, lsc, accsc = refs[n_in + 3:]
+
+        lyr = pl.program_id(0)
+        j = pl.program_id(1)
+        nW = pl.num_programs(1)
+
+        def mn(name):
+            return r[name + "_mn"] if has_mins else None
+
+        def vec(name):
+            return r[name][0]
+
+        # arithmetic 0/1 masks (Mosaic mishandles wide i1 relayouts)
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (BH, D), 1) // Dk
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (BH, D), 0) % H
+        hm_t = (col_h == row_h).astype(jnp.bfloat16)      # tiled head mask
+        rep_c = jax.lax.broadcasted_iota(jnp.int32, (BH, B), 1)
+        rep_r = jax.lax.broadcasted_iota(jnp.int32, (BH, B), 0) // H
+        rep = (rep_c == rep_r).astype(jnp.float32)        # (BH, B) slot-rep
+
+        # ---- layer entry: LN0 + fused qkv projection, reset softmax state
+        @pl.when(j == 0)
+        def _start_layer():
+            @pl.when(lyr == 0)
+            def _():
+                xres[:] = r["x0"][:]
+
+            h = _ln(xres[:], vec("ln0w"), vec("ln0b"), eps)     # (B, D)
+            qkv = _qmm_dq(h.astype(jnp.bfloat16), r["qkv_lv"], r["qkv_sc"],
+                          mn("qkv"), offset=offset, packed=packed)
+            qkv = qkv + vec("qkv_b").astype(jnp.float32)
+            q = qkv[:, :D] * scale
+            k = qkv[:, D:2 * D]
+            v = qkv[:, 2 * D:]
+            kcur[:] = k
+            vcur[:] = v
+            krow_ref[0] = k.astype(krow_ref.dtype)
+            vrow_ref[0] = v.astype(vrow_ref.dtype)
+            q_rep = jnp.dot(rep, q, preferred_element_type=jnp.float32)
+            qbd[:] = hm_t * q_rep.astype(jnp.bfloat16)
+            msc[:] = jnp.full_like(msc, -1e30)
+            lsc[:] = jnp.zeros_like(lsc)
+            accsc[:] = jnp.zeros_like(accsc)
+
+        # ---- one KV block: per-slot scores + shared softmax accumulation
+        scores = jnp.concatenate(
+            [jax.lax.dot_general(qbd[b * H:(b + 1) * H, :],
+                                 r["kcache"][0, b],          # (KVB, D)
+                                 _NT, preferred_element_type=jnp.float32)
+             for b in range(B)], axis=0)                     # (BH, KVB)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 1) + j * KVB
+        past_col = jnp.concatenate(
+            [jnp.full((H, 1), r["past"][0, b], jnp.int32) for b in range(B)],
+            axis=0)                                          # (BH, 1)
+        valid = idx < past_col
+        masked = jnp.where(valid, scores, -1e30)
+        m_prev = msc[:]
+        m_new = jnp.maximum(m_prev, jnp.max(masked, axis=1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        lsc[:] = lsc[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        accsc[:] = accsc[:] * alpha + jnp.concatenate(
+            [jnp.dot(p[b * H:(b + 1) * H, :].astype(jnp.bfloat16),
+                     r["vcache"][0, b], preferred_element_type=jnp.float32)
+             for b in range(B)], axis=0)
+        msc[:] = m_new
+
+        # ---- layer exit: current token, o-proj, FFN, residuals
+        @pl.when(j == nW - 1)
+        def _finish_layer():
+            kcur_rep = jnp.dot(rep, kcur[:],
+                               preferred_element_type=jnp.float32)
+            vcur_rep = jnp.dot(rep, vcur[:],
+                               preferred_element_type=jnp.float32)
+            cur = jnp.sum(qbd[:].astype(jnp.float32) * kcur_rep,
+                          axis=1, keepdims=True)             # (BH, 1)
+            m_prev2 = msc[:]
+            m_fin = jnp.maximum(m_prev2, cur)
+            alpha2 = jnp.exp(m_prev2 - m_fin)
+            p_cur = jnp.exp(cur - m_fin)
+            l_all = lsc[:] * alpha2 + p_cur
+            acc = accsc[:] * alpha2 + p_cur * vcur_rep       # (BH, D)
+            ctx = acc / l_all
+            # collapse (BH, D) head-rows to (B, D): select each slot's rows
+            # with rep^T, head columns already disjoint via the mask
+            ctx_flat = jnp.dot(rep.T.astype(jnp.float32),
+                               ctx * hm_t.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+            attn = _qmm_dq(ctx_flat.astype(jnp.bfloat16), r["o_lv"],
+                           r["o_sc"], mn("o"), offset=offset, packed=packed)
+            x = xres[:] + attn + vec("o_b").astype(jnp.float32)
+
+            h2 = _ln(x, vec("ln1w"), vec("ln1b"), eps).astype(jnp.bfloat16)
+            f = _qmm_dq(h2, r["fc1_lv"], r["fc1_sc"], mn("fc1"),
+                        offset=offset, packed=packed)
+            f = _gelu_erf(f + vec("fc1_b").astype(jnp.float32))
+            out = _qmm_dq(f.astype(jnp.bfloat16), r["fc2_lv"], r["fc2_sc"],
+                          mn("fc2"), offset=offset, packed=packed)
+            xres[:] = x + out + vec("fc2_b").astype(jnp.float32)
+
+            @pl.when(lyr == pl.num_programs(0) - 1)
+            def _():
+                xout_ref[:] = xres[:]
+
+    return kernel
+
+
 def _kv_block(window: int) -> int:
     """KV block size: cap VMEM at 512 slots; fall back to one block for odd
     windows (engine buckets are powers of two, so this is the normal case)."""
@@ -285,7 +475,7 @@ def _kv_block(window: int) -> int:
 
 def supports_layers(layers: dict, cache_dtype, batch: int, n_new: int) -> bool:
     """Whether the megakernel path applies to these engine-packed layers."""
-    if batch != 1 or n_new != 1 or cache_dtype != jnp.bfloat16:
+    if not 1 <= batch <= 8 or n_new != 1 or cache_dtype != jnp.bfloat16:
         return False
     if "qkv" not in layers:
         return False
@@ -323,11 +513,12 @@ def decode_step_fused(
 ):
     """One full decode step over all layers (see module docstring).
 
-    Returns (x_final (1, D) f32, k_rows (L, D), v_rows (L, D) in cache
-    dtype). ``k_cache``/``v_cache`` are flat-D views (L, 1, S, D); the
-    caller writes the returned rows at slot ``past``.
+    Returns (x_final (B, D) f32, k_rows (L, B, D), v_rows (L, B, D) in
+    cache dtype). ``k_cache``/``v_cache`` are flat-D views (L, B, S, D);
+    ``past`` is a scalar (B=1) or per-slot (B,) vector of positions; the
+    caller writes each slot's returned rows at its own position.
     """
-    L, _, S, D = k_cache.shape
+    L, B, S, D = k_cache.shape
     H = n_head
     qkv: QuantizedTensor = layers["qkv"]["w"]
     F = layers["fc1"]["w"].scales.shape[-1]
@@ -355,13 +546,15 @@ def decode_step_fused(
         return jnp.asarray(a).reshape(a.shape[0], 1, a.shape[-1])
 
     names = ["past", "x0", "ln0w", "ln0b", "ln1w", "ln1b"]
-    args = [jnp.broadcast_to(jnp.asarray(past, jnp.int32), (1, 1)),
+    past_row = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,)).reshape(1, B)
+    args = [past_row,
             x0.astype(jnp.float32),
             as_rows(layers["ln0"]["w"]), as_rows(layers["ln0"]["b"]),
             as_rows(layers["ln1"]["w"]), as_rows(layers["ln1"]["b"])]
-    in_specs = [pl.BlockSpec((1, 1), lambda l, j: (0, 0),
+    in_specs = [pl.BlockSpec((1, B), lambda l, j: (0, 0),
                              memory_space=pltpu.SMEM),
-                const((1, D)),
+                const((B, D)),
                 per_layer((1, D)), per_layer((1, D)),
                 per_layer((1, D)), per_layer((1, D))]
 
@@ -382,47 +575,52 @@ def decode_step_fused(
 
     names += ["kcache", "vcache"]
     args += [k_cache, v_cache]
-    kv_spec = pl.BlockSpec((1, 1, KVB, D), lambda l, j: (l, 0, j, 0),
+    kv_spec = pl.BlockSpec((1, B, KVB, D), lambda l, j: (l, 0, j, 0),
                            memory_space=pltpu.VMEM)
     in_specs += [kv_spec, kv_spec]
 
     cache_dtype = k_cache.dtype
-    row_spec = pl.BlockSpec((1, 1, D), lambda l, j: (l, 0, 0),
+    row_spec = pl.BlockSpec((1, B, D), lambda l, j: (l, 0, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec((1, D), lambda l, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, D), lambda l, j: (0, 0), memory_space=pltpu.VMEM),
         row_spec,
         row_spec,
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((1, D), jnp.float32),
-        jax.ShapeDtypeStruct((L, 1, D), cache_dtype),
-        jax.ShapeDtypeStruct((L, 1, D), cache_dtype),
+        jax.ShapeDtypeStruct((B, D), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, D), cache_dtype),
+        jax.ShapeDtypeStruct((L, B, D), cache_dtype),
     ]
 
     scratch = [
-        pltpu.VMEM((1, D), jnp.float32),    # xres — residual stream
-        pltpu.VMEM((H, D), jnp.bfloat16),   # qbd — block-diagonal Q
-        pltpu.VMEM((1, D), jnp.float32),    # kcur
-        pltpu.VMEM((1, D), jnp.float32),    # vcur
-        pltpu.VMEM((H, 1), jnp.float32),    # msc — running max
-        pltpu.VMEM((H, 1), jnp.float32),    # lsc — running denom
-        pltpu.VMEM((H, D), jnp.float32),    # accsc — running P@V
+        pltpu.VMEM((B, D), jnp.float32),       # xres — residual stream
+        pltpu.VMEM((B * H, D), jnp.bfloat16),  # qbd — block-diagonal Q
+        pltpu.VMEM((B, D), jnp.float32),       # kcur
+        pltpu.VMEM((B, D), jnp.float32),       # vcur
+        pltpu.VMEM((B * H, 1), jnp.float32),   # msc — running max
+        pltpu.VMEM((B * H, 1), jnp.float32),   # lsc — running denom
+        pltpu.VMEM((B * H, D), jnp.float32),   # accsc — running P@V
     ]
 
-    kernel = _make_kernel(names, D=D, H=H, KVB=KVB, eps=ln_eps,
-                          offset=offset, packed=packed, has_mins=has_mins)
+    if B == 1:
+        kernel = _make_kernel(names, D=D, H=H, KVB=KVB, eps=ln_eps,
+                              offset=offset, packed=packed, has_mins=has_mins)
+    else:
+        kernel = _make_kernel_batched(
+            names, B=B, D=D, H=H, KVB=KVB, eps=ln_eps,
+            offset=offset, packed=packed, has_mins=has_mins)
 
     # bytes: levels+scales+biases per layer, KV window, outputs
     wbytes = sum(int(jnp.size(layers[n]["w"].levels))
                  * layers[n]["w"].levels.dtype.itemsize
                  + int(jnp.size(layers[n]["w"].scales)) * 2
                  for n in ("qkv", "o", "fc1", "fc2"))
-    kv_bytes = 2 * L * W * D * 2
+    kv_bytes = 2 * L * B * W * D * 2
     cost = pl.CostEstimate(
-        flops=2 * L * (D * 3 * D + D * D + 2 * D * F + 2 * H * W * D),
+        flops=2 * L * B * (D * 3 * D + D * D + 2 * D * F + 2 * H * W * D),
         bytes_accessed=wbytes + kv_bytes,
-        transcendentals=L * (H * W + F),
+        transcendentals=L * B * (H * W + F),
     )
 
     x_out, k_rows, v_rows = pl.pallas_call(
@@ -437,4 +635,4 @@ def decode_step_fused(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return x_out, k_rows.reshape(L, D), v_rows.reshape(L, D)
+    return x_out, k_rows, v_rows

@@ -173,33 +173,50 @@ def quantize_to_planes(w_out_in: np.ndarray, qtype: int) -> QuantizedTensor:
     return to_planes(raw, w_out_in.shape, qtype)
 
 
-def pack_nibble_planes(qt: QuantizedTensor) -> QuantizedTensor:
+def pack_nibble_planes(qt: QuantizedTensor, chunks: int = 1) -> QuantizedTensor:
     """Pack a 4-bit-format plane tensor to two-levels-per-byte (split-half).
 
     Levels are stored UNCENTERED (0..15); consumers subtract
     ``LEVEL_OFFSET[qtype]`` after unpacking. No-op for non-4-bit formats.
+
+    ``chunks`` > 1 packs each of ``chunks`` equal d_in chunks independently
+    (split-half WITHIN each chunk): a d_in shard of the result unpacks
+    shard-locally — required for row-parallel tensor-parallel weights,
+    where each shard owns a contiguous d_in range (parallel/tp.py). A
+    chunked-packed tensor must be unpacked with the SAME ``chunks``.
     """
     if qt.packed or qt.qtype not in (GGML_TYPE_Q4_0, GGML_TYPE_Q4_1):
         return qt
     levels = np.asarray(qt.levels)
     d_in = levels.shape[-2]  # supports layer-stacked (L, d_in, d_out) planes
-    if d_in % (2 * QK) != 0:
+    if d_in % (chunks * 2 * QK) != 0:
         return qt  # halves wouldn't stay block-aligned; keep unpacked
-    half = d_in // 2
     uncentered = (levels.astype(np.int16) + LEVEL_OFFSET[qt.qtype]).astype(np.uint8)
-    packed = uncentered[..., :half, :] | (uncentered[..., half:, :] << 4)
+    per = d_in // chunks
+    half = per // 2
+    pieces = []
+    for c in range(chunks):
+        u = uncentered[..., c * per:(c + 1) * per, :]
+        pieces.append(u[..., :half, :] | (u[..., half:, :] << 4))
+    packed = pieces[0] if chunks == 1 else np.concatenate(pieces, axis=-2)
     return QuantizedTensor(levels=packed, scales=qt.scales, mins=qt.mins,
                            qtype=qt.qtype, packed=True)
 
 
-def unpack_nibble_planes(qt: QuantizedTensor) -> QuantizedTensor:
-    """Inverse of :func:`pack_nibble_planes` (numpy)."""
+def unpack_nibble_planes(qt: QuantizedTensor, chunks: int = 1) -> QuantizedTensor:
+    """Inverse of :func:`pack_nibble_planes` (numpy, same ``chunks``)."""
     if not qt.packed:
         return qt
     packed = np.asarray(qt.levels)
-    lo = (packed & 0x0F).astype(np.int16)
-    hi = ((packed >> 4) & 0x0F).astype(np.int16)
-    levels = (np.concatenate([lo, hi], axis=-2) - LEVEL_OFFSET[qt.qtype]).astype(np.int8)
+    per = packed.shape[-2] // chunks
+    pieces = []
+    for c in range(chunks):
+        u = packed[..., c * per:(c + 1) * per, :]
+        lo = (u & 0x0F).astype(np.int16)
+        hi = ((u >> 4) & 0x0F).astype(np.int16)
+        pieces.append(np.concatenate([lo, hi], axis=-2))
+    levels = (np.concatenate(pieces, axis=-2) if chunks > 1 else pieces[0])
+    levels = (levels - LEVEL_OFFSET[qt.qtype]).astype(np.int8)
     return QuantizedTensor(levels=levels, scales=qt.scales, mins=qt.mins,
                            qtype=qt.qtype, packed=False)
 

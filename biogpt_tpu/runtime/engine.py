@@ -147,12 +147,24 @@ class Engine:
         self.causal = causal
         self.max_seq = max_seq or config.n_positions
         self.mesh = mesh
-        # Under a mesh, GSPMD partitions the XLA ops; the Pallas kernel (and
-        # split-half packed planes) are single-device constructs — skip both.
+        # Mesh path: the whole forward runs as a shard_map (parallel/tp.py)
+        # so each shard calls the packed Pallas kernels on its LOCAL planes
+        # with explicit psum/all_gather at the Megatron joins — GSPMD alone
+        # cannot partition a custom kernel, which is what forced round 1's
+        # mesh engine onto the slow unpacked XLA path.
+        self._tp_fwd = None
+        if mesh is not None and pack_q4:
+            from ..parallel.mesh import MODEL_AXIS
+            from ..parallel.tp import (make_tp_forward, pack_params_tp,
+                                       supports_tp)
+            tp = mesh.shape[MODEL_AXIS]
+            if supports_tp(config, tp):
+                params = pack_params_tp(params, tp)
+                self._tp_fwd = make_tp_forward(mesh)
         # Default ON: the block-structured Pallas kernel measures ~2.5x
         # faster than the XLA block-accum path under honest (fetch-synced)
         # timing (RESULTS.md).
-        self.allow_pallas = mesh is None and pack_q4
+        self.allow_pallas = pack_q4 and (mesh is None or self._tp_fwd is not None)
         if pack_q4 and mesh is None:
             params = _pack_matmul_weights(params)
 
@@ -172,17 +184,21 @@ class Engine:
         if cache_dtype is None:
             cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
         self.cache_dtype = cache_dtype
-        if mesh is not None:
+        if self._tp_fwd is not None:
+            from ..parallel.tp import shard_params_tp
+            self.params = shard_params_tp(params, mesh)
+        elif mesh is not None:
             from ..parallel.sharding import shard_params
             self.params = shard_params(params, mesh)
         else:
             self.params = jax.device_put(params)
 
+        fwd = self._tp_fwd or forward
         static = ("config", "compute_dtype", "causal", "logits_mode",
                   "allow_pallas", "kv_window")
         donate = ("cache",) if donate_cache else ()
         self._step = jax.jit(
-            forward, static_argnames=static, donate_argnames=donate)
+            fwd, static_argnames=static, donate_argnames=donate)
 
         self._interpret = jax.default_backend() != "tpu"
 
@@ -195,7 +211,7 @@ class Engine:
                     compute_dtype=self.compute_dtype, kv_window=kv_window,
                     interpret=self._interpret)
             else:
-                logits, cache = forward(
+                logits, cache = fwd(
                     params, tok, cache, past, self.config,
                     compute_dtype=self.compute_dtype, causal=self.causal,
                     allow_pallas=self.allow_pallas, logits_mode="last",

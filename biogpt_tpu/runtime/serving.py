@@ -33,9 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BioGptConfig, GenerationParams
-from ..models.biogpt import forward
+from ..models.biogpt import forward, forward_fused_decode
 from .cache import KVCache, init_cache
-from .sampling import sample_per_request
+from .sampling import greedy, sample_per_request
 
 
 def _bucket(n: int, floor: int = 8) -> int:
@@ -78,7 +78,7 @@ class BatchedEngine:
         params,
         max_batch: int = 8,
         compute_dtype=jnp.bfloat16,
-        cache_dtype=jnp.float16,
+        cache_dtype=None,
         max_seq: Optional[int] = None,
         chunk: int = 16,
         pack_q4: bool = True,
@@ -86,12 +86,23 @@ class BatchedEngine:
         self.config = config
         self.B = max_batch
         self.compute_dtype = compute_dtype
-        self.cache_dtype = cache_dtype
         self.max_seq = max_seq or config.n_positions
         self.chunk = chunk
         if pack_q4:
             from .engine import _pack_matmul_weights
             params = _pack_matmul_weights(params)
+        # Batched whole-model megakernel (ops/pallas_decode.py): the B<=8
+        # lockstep decode step runs ALL layers as one kernel with per-slot
+        # positions. Needs a bf16 cache and fused+packed quantized weights.
+        from ..ops.pallas_decode import supports_layers
+        self._fused_decode = (
+            pack_q4 and compute_dtype != jnp.float32
+            and cache_dtype in (None, jnp.bfloat16)
+            and supports_layers(params.get("layers", {}), jnp.bfloat16,
+                                batch=self.B, n_new=1))
+        if cache_dtype is None:
+            cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
+        self.cache_dtype = cache_dtype
         self.params = jax.device_put(params)
         # decode shapes (m = B <= 8) ride the packed Pallas kernels; matmul
         # dispatch falls back to XLA for prefill shapes automatically
@@ -123,42 +134,57 @@ class BatchedEngine:
             insert_slots, donate_argnames=("big",))
 
         def batched_step(params, toks, cache, lengths, rng, temps, top_ps,
-                         top_ks, out_buf, out_ix, kv_window):
+                         top_ks, out_buf, out_ix, kv_window, use_fused,
+                         all_greedy):
             """One lockstep decode step over all B slots.
 
             toks (B, 1); lengths (B,) per-slot positions; temps/top_ps/
             top_ks (B,) per-request sampling params; tokens land in
             out_buf[out_ix] (a (chunk, B) device ring the host drains).
             """
-            logits, cache = forward(
-                params, toks, cache, lengths, self.config,
-                compute_dtype=self.compute_dtype,
-                allow_pallas=self.allow_pallas, logits_mode="last",
-                kv_window=kv_window)
-            rng, sub = jax.random.split(rng)
-            nxt = sample_per_request(sub, logits, top_ks, top_ps, temps,
-                                     max_top_k=self.MAX_TOP_K)
+            if use_fused:
+                logits, cache = forward_fused_decode(
+                    params, toks, cache, lengths, self.config,
+                    compute_dtype=self.compute_dtype, kv_window=kv_window,
+                    interpret=self._interpret)
+            else:
+                logits, cache = forward(
+                    params, toks, cache, lengths, self.config,
+                    compute_dtype=self.compute_dtype,
+                    allow_pallas=self.allow_pallas, logits_mode="last",
+                    kv_window=kv_window)
+            if all_greedy:
+                # every live request is greedy: skip the full-vocab top-k
+                # (jax.lax.top_k over (B, 42k) costs more than the forward's
+                # sampling share); rng untouched
+                nxt = greedy(logits)
+            else:
+                rng, sub = jax.random.split(rng)
+                nxt = sample_per_request(sub, logits, top_ks, top_ps, temps,
+                                         max_top_k=self.MAX_TOP_K)
             out_buf = jax.lax.dynamic_update_slice(
                 out_buf, nxt[None, :], (out_ix, jnp.zeros((), jnp.int32)))
             return (nxt[:, None], cache, lengths + 1, rng, out_buf,
                     out_ix + 1)
 
         def step_scan(params, toks, cache, lengths, rng, temps, top_ps,
-                      top_ks, out_buf, *, n_steps: int, kv_window: int):
+                      top_ks, out_buf, *, n_steps: int, kv_window: int,
+                      use_fused: bool, all_greedy: bool):
             """``n_steps`` lockstep steps under ONE dispatch (argument
             binding costs ~0.7 ms/call on this runtime — see engine)."""
             def body(carry, _):
                 toks, cache, lengths, rng, out_buf, out_ix = carry
                 return batched_step(params, toks, cache, lengths, rng,
                                     temps, top_ps, top_ks, out_buf, out_ix,
-                                    kv_window), None
+                                    kv_window, use_fused, all_greedy), None
             init = (toks, cache, lengths, rng, out_buf, jnp.int32(0))
             (toks, cache, lengths, rng, out_buf, _), _ = jax.lax.scan(
                 body, init, None, length=n_steps)
             return toks, cache, lengths, rng, out_buf
 
         self._step_scan = jax.jit(
-            step_scan, static_argnames=("n_steps", "kv_window"),
+            step_scan, static_argnames=("n_steps", "kv_window", "use_fused",
+                                        "all_greedy"),
             donate_argnames=("cache", "out_buf"))
 
         def apply_refill(toks, lengths, first_buf, temps, top_ps, top_ks,
@@ -174,6 +200,13 @@ class BatchedEngine:
                     sel(n_tks, top_ks))
 
         self._apply_refill = jax.jit(apply_refill)
+
+    def _use_fused(self) -> bool:
+        """Megakernel gate, evaluated per call (honors set_pallas_mode)."""
+        from ..ops.qmatmul import _PALLAS_MODE
+        if not self._fused_decode or _PALLAS_MODE is False:
+            return False
+        return (not self._interpret) or _PALLAS_MODE is True
 
     def new_cache(self) -> KVCache:
         return init_cache(self.config, batch=self.B, max_len=self.max_seq,
@@ -256,6 +289,10 @@ class BatchedEngine:
         gen = gen or GenerationParams(temp=0.0)
         seed = gen.seed if gen.seed >= 0 else int(time.time())
         rng = jax.random.PRNGKey(seed)
+        # static sampling shortcut: if EVERY request in this serve() call is
+        # greedy, the scan skips the per-step full-vocab top-k entirely
+        all_greedy = all((gen.temp if r.temp is None else r.temp) <= 0
+                         for r in requests)
 
         queue = list(requests)
         results: Dict[int, RequestResult] = {}
@@ -348,7 +385,8 @@ class BatchedEngine:
             out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
             toks, cache, lengths, rng, out_buf = self._step_scan(
                 self.params, toks, cache, lengths, rng, temps, top_ps,
-                top_ks, out_buf, n_steps=self.chunk, kv_window=window)
+                top_ks, out_buf, n_steps=self.chunk, kv_window=window,
+                use_fused=self._use_fused(), all_greedy=all_greedy)
             # ONE transfer fetches first tokens + the whole chunk block
             fetched = np.asarray(jax.block_until_ready(
                 jnp.concatenate([first_buf, out_buf.reshape(-1)])))

@@ -55,7 +55,8 @@ def _run_parallel_steps(qtype, window, kv_block, n_steps=5, prompt_len=4,
             allow_pallas=False, kv_window=window)
         logits_f, cache_f = forward_fused_decode(
             params, t, cache_f, jnp.int32(past), CFG,
-            compute_dtype=jnp.bfloat16, kv_window=window, interpret=True)
+            compute_dtype=jnp.bfloat16, kv_window=window, interpret=True,
+            kv_block=kv_block)
         yield (np.asarray(logits_o), np.asarray(logits_f),
                cache_o, cache_f, past)
         tok = int(np.asarray(logits_o).argmax(-1)[0])
@@ -99,11 +100,72 @@ def test_fused_decode_blockwise_kv_vs_oracle():
         np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
 
 
+def _batched_step_pair(qtype, past_list, window, n_steps=3, seed=0,
+                       kv_block=None):
+    """Run fused-vs-oracle batched decode steps over a shared random cache
+    with per-slot positions (the serving shape), feeding both sides the
+    ORACLE's greedy tokens."""
+    params = _packed_params(qtype, seed=seed)
+    rng = np.random.RandomState(seed + 7)
+    B = len(past_list)
+    cache_rand = init_cache(CFG, batch=B, max_len=CFG.n_positions,
+                            dtype=jnp.bfloat16)
+    fill = rng.randn(*cache_rand.k.shape).astype(np.float32) * 0.3
+    cache_o = cache_rand._replace(
+        k=jnp.asarray(fill, jnp.bfloat16),
+        v=jnp.asarray(fill[..., ::-1].copy(), jnp.bfloat16))
+    cache_f = cache_o
+    past = np.asarray(past_list, np.int32)
+    toks = rng.randint(3, CFG.n_vocab, size=(B, 1)).astype(np.int32)
+
+    for _ in range(n_steps):
+        t = jnp.asarray(toks)
+        p = jnp.asarray(past)
+        logits_o, cache_o = forward(
+            params, t, cache_o, p, CFG, compute_dtype=jnp.bfloat16,
+            causal=True, logits_mode="last", allow_pallas=False,
+            kv_window=window)
+        logits_f, cache_f = forward_fused_decode(
+            params, t, cache_f, p, CFG, kv_window=window, interpret=True,
+            kv_block=kv_block)
+        yield np.asarray(logits_o), np.asarray(logits_f), cache_o, cache_f
+        toks = np.asarray(logits_o).argmax(-1)[:, None].astype(np.int32)
+        past = past + 1
+
+
+def test_fused_decode_batched_vs_oracle():
+    for logits_o, logits_f, cache_o, cache_f in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_0, past_list=[3, 7, 1, 5], window=16):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+        # identical cache evolution (same dtype, same slots written)
+        np.testing.assert_allclose(
+            np.asarray(cache_f.k, np.float32),
+            np.asarray(cache_o.k, np.float32), rtol=2e-2, atol=0.1)
+
+
+def test_fused_decode_batched_mins_format():
+    for logits_o, logits_f, *_ in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_1, past_list=[2, 9], window=16, n_steps=2):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+
+
+def test_fused_decode_batched_multiblock_kv():
+    """Batched online softmax across multiple KV grid steps (nW > 1)."""
+    for logits_o, logits_f, *_ in _batched_step_pair(
+            codecs.GGML_TYPE_Q8_0, past_list=[1, 14, 8], window=16,
+            n_steps=2, kv_block=8):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+
+
 def test_supports_layers():
     layers = _packed_params(codecs.GGML_TYPE_Q4_0)["layers"]
     assert supports_layers(layers, jnp.bfloat16, batch=1, n_new=1)
     assert not supports_layers(layers, jnp.float16, batch=1, n_new=1)
-    assert not supports_layers(layers, jnp.bfloat16, batch=2, n_new=1)
+    assert supports_layers(layers, jnp.bfloat16, batch=8, n_new=1)
+    assert not supports_layers(layers, jnp.bfloat16, batch=9, n_new=1)
     assert not supports_layers(layers, jnp.bfloat16, batch=1, n_new=4)
     # unfused q/k/v (no engine packing) is not supported
     raw = params_from_state_dict(make_state_dict(CFG, seed=0), CFG,
@@ -126,6 +188,36 @@ def test_pick_tile_divides():
         t = _pick_tile(d_in, d_out)
         assert d_out % t == 0
         assert t * d_in * 2 <= 8 * 1024 * 1024
+
+
+def test_serving_fused_matches_per_op():
+    """BatchedEngine e2e: lockstep serving through the BATCHED megakernel
+    equals the per-op path request-for-request (CPU interpret, forced
+    pallas), including a refill wave (3 requests over 2 slots)."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    sd = make_state_dict(CFG, seed=11)
+    params = params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_0)
+    reqs = [Request(prompt_ids=p, n_predict=4, request_id=i)
+            for i, p in enumerate([[2, 41, 7], [2, 19, 3, 8], [2, 5]])]
+    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+
+    be = BatchedEngine(CFG, params, max_batch=2, chunk=2,
+                       compute_dtype=jnp.bfloat16, max_seq=32)
+    assert be._fused_decode and be.cache_dtype == jnp.bfloat16
+    try:
+        set_pallas_mode(True)   # CPU: run kernels in interpret mode
+        assert be._use_fused()
+        fused = be.serve(reqs, gen)
+        set_pallas_mode(False)
+        assert not be._use_fused()
+        plain = be.serve(reqs, gen)
+    finally:
+        set_pallas_mode("auto")
+    for i in range(len(reqs)):
+        assert fused[i].ids == plain[i].ids, i
 
 
 def test_engine_generate_fused_matches_per_op():

@@ -97,3 +97,91 @@ def test_spec_tree_matches_param_structure(tiny_params):
     specs = param_pspecs(tiny_params)
     assert set(specs) == set(tiny_params)
     assert set(specs["layers"]) == set(tiny_params["layers"])
+
+
+# ---------------------------------------------------------- shard_map TP
+
+# Lane-aligned shards at tp=4: local qkv d_out 384, fc1 shard 128 — the
+# per-shard packed Pallas kernel engages (d_model=64 TINY shards to 16-wide
+# slivers that only exercise the XLA fallback).
+TPCFG = BioGptConfig.tiny(d_model=512, d_ff=512, n_head=4, n_layer=2,
+                          n_vocab=300, n_positions=64)
+
+
+@pytest.fixture(scope="module")
+def tp_params_q4():
+    sd = make_state_dict(TPCFG, seed=13)
+    return params_from_state_dict(sd, TPCFG, qtype=codecs.GGML_TYPE_Q4_0)
+
+
+@pytest.mark.parametrize("data,model", [(1, 4), (2, 4), (1, 1)])
+def test_tp_forward_matches_single(tp_params_q4, data, model):
+    """shard_map TP forward (XLA per-shard kernels) == single-device."""
+    from biogpt_tpu.models.biogpt import forward
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp, supports_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    assert supports_tp(TPCFG, model)
+    mesh = make_mesh(data, model)
+    tpp = shard_params_tp(pack_params_tp(tp_params_q4, model), mesh)
+    fwd = jax.jit(make_tp_forward(mesh), static_argnames=(
+        "config", "compute_dtype", "causal", "logits_mode", "allow_pallas"))
+    ids = np.random.RandomState(0).randint(3, 299, size=(2, 6)).astype(np.int32)
+    cache = init_cache(TPCFG, batch=2, max_len=32, dtype=jnp.float16)
+    base, cache_b = jax.jit(forward, static_argnames=(
+        "config", "compute_dtype", "causal", "logits_mode", "allow_pallas"))(
+        tp_params_q4, jnp.asarray(ids), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="last", allow_pallas=False)
+    got, cache_t = fwd(
+        tpp, jnp.asarray(ids), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="last", allow_pallas=False)
+    # packed planes hold bf16 scales (vs f16 unpacked) — small drift
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-2, atol=2e-2)
+    assert (np.asarray(got).argmax(-1) == np.asarray(base).argmax(-1)).all()
+    np.testing.assert_allclose(
+        np.asarray(cache_t.k, np.float32), np.asarray(cache_b.k, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_tp_forward_packed_pallas_matches(tp_params_q4):
+    """Per-shard PACKED Pallas kernels (forced interpret) == XLA path."""
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    mesh = make_mesh(1, 4)
+    tpp = shard_params_tp(pack_params_tp(tp_params_q4, 4), mesh)
+    fwd = jax.jit(make_tp_forward(mesh), static_argnames=(
+        "config", "compute_dtype", "causal", "logits_mode", "allow_pallas"))
+    tok = jnp.asarray([[7]], jnp.int32)
+    cache = init_cache(TPCFG, batch=1, max_len=32, dtype=jnp.float16)
+    try:
+        set_pallas_mode(True)    # decode shape m=1: packed kernel engages
+        pall, _ = fwd(tpp, tok, cache, jnp.int32(0), TPCFG,
+                      compute_dtype=jnp.bfloat16, logits_mode="last",
+                      allow_pallas=True)
+        set_pallas_mode(False)
+        xla, _ = fwd(tpp, tok, cache, jnp.int32(0), TPCFG,
+                     compute_dtype=jnp.bfloat16, logits_mode="last",
+                     allow_pallas=True)
+    finally:
+        set_pallas_mode("auto")
+    np.testing.assert_allclose(np.asarray(pall), np.asarray(xla),
+                               rtol=5e-2, atol=0.3)
+    assert np.asarray(pall).argmax(-1) == np.asarray(xla).argmax(-1)
+
+
+def test_tp_engine_generate_matches(tp_params_q4):
+    from biogpt_tpu.config import GenerationParams
+
+    gen = GenerationParams(n_predict=6, temp=0.0, stop_at_eos=False)
+    prompt = [2, 10, 25, 48]
+    base = Engine(TPCFG, tp_params_q4, compute_dtype=jnp.float32,
+                  pack_q4=False)
+    mesh = make_mesh(data=1, model=4)
+    par = Engine(TPCFG, tp_params_q4, compute_dtype=jnp.float32, mesh=mesh)
+    assert par._tp_fwd is not None    # the shard_map TP path is live
+    assert base.generate(prompt, gen).ids == par.generate(prompt, gen).ids

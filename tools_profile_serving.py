@@ -1,0 +1,65 @@
+"""Profile BatchedEngine.serve phases on the real chip.
+
+Wraps the serving engine's jitted entry points with blocking timers to see
+where wall-clock goes during a bench-shaped serve (24 reqs, B=8, 48 tokens).
+Blocking per call kills async pipelining, so absolute totals are upper
+bounds — the per-phase split is the signal.
+"""
+import sys, time, collections
+import jax, jax.numpy as jnp, numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/biogpt_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from biogpt_tpu.config import BioGptConfig, GenerationParams
+from biogpt_tpu.modelio.synthetic import make_random_quantized_params
+from biogpt_tpu.quant.codecs import GGML_TYPE_BY_NAME
+from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+config = BioGptConfig()
+params = make_random_quantized_params(config, GGML_TYPE_BY_NAME["q4_0"], seed=0)
+B, n_pred = 8, 48
+be = BatchedEngine(config, params, max_batch=B, compute_dtype=jnp.bfloat16,
+                   max_seq=512, chunk=16)
+print("fused megakernel:", be._fused_decode, flush=True)
+
+times = collections.defaultdict(float)
+counts = collections.defaultdict(int)
+
+def wrap(name, fn):
+    def inner(*a, **k):
+        t0 = time.perf_counter()
+        out = fn(*a, **k)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        times[name] += dt
+        counts[name] += 1
+        return out
+    return inner
+
+be._step_scan = wrap("step_scan", be._step_scan)
+be._prefill_jit = wrap("prefill", be._prefill_jit)
+be._insert_slots = wrap("insert_slots", be._insert_slots)
+be._apply_refill = wrap("apply_refill", be._apply_refill)
+
+rng = np.random.default_rng(0)
+def make_reqs(n):
+    return [Request(prompt_ids=[2] + rng.integers(4, 40000, size=int(
+        rng.integers(4, 24))).tolist(), n_predict=n_pred, request_id=i)
+        for i in range(n)]
+
+gen = GenerationParams(temp=0.0, stop_at_eos=False)
+
+for label, n in (("warm1", 3 * B), ("warm2", 3 * B), ("timed", 3 * B)):
+    times.clear(); counts.clear()
+    t0 = time.perf_counter()
+    results = be.serve(make_reqs(n), gen)
+    dt = time.perf_counter() - t0
+    total_new = sum(len(r.new_ids) for r in results.values())
+    print(f"--- {label}: {dt:.2f}s total, {total_new} tokens, "
+          f"{total_new/dt:.1f} tok/s agg", flush=True)
+    tracked = sum(times.values())
+    for k in sorted(times, key=times.get, reverse=True):
+        print(f"    {k:14s} {times[k]*1e3:9.1f} ms  x{counts[k]:3d} "
+              f"({times[k]/counts[k]*1e3:7.2f} ms/call)", flush=True)
+    print(f"    {'(untracked)':14s} {(dt-tracked)*1e3:9.1f} ms", flush=True)
