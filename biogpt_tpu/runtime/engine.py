@@ -433,7 +433,10 @@ class Engine:
         def drain():
             """One transfer: emit all queued tokens, detect EOS."""
             nonlocal stopped, emitted
-            vals = np.asarray(jax.block_until_ready(out_buf))
+            # np.asarray blocks until the buffer is computed AND fetched;
+            # an explicit block_until_ready first would add a second ~35 ms
+            # sync RPC on this runtime
+            vals = np.asarray(out_buf)
             while emitted < min(queued, n_predict) and not stopped:
                 tid = int(vals[emitted])
                 ids.append(tid)

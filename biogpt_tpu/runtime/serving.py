@@ -82,12 +82,17 @@ class BatchedEngine:
         max_seq: Optional[int] = None,
         chunk: int = 16,
         pack_q4: bool = True,
+        pipeline: int = 2,
     ):
         self.config = config
         self.B = max_batch
         self.compute_dtype = compute_dtype
         self.max_seq = max_seq or config.n_positions
         self.chunk = chunk
+        # in-flight chunk fetches before the host blocks on a drain: at
+        # depth 2 a fetch has had ~2 chunk periods for device compute + the
+        # ~26 ms device->host RTT, so drains come back essentially free
+        self.pipeline = max(1, pipeline)
         if pack_q4:
             from .engine import _pack_matmul_weights
             params = _pack_matmul_weights(params)
@@ -285,6 +290,22 @@ class BatchedEngine:
 
         ``gen`` provides the default sampling parameters and the EOS rule;
         each request may override temp/top_k/top_p; lengths are per-request.
+
+        Two mechanisms keep the host off the critical path (a device->host
+        fetch costs a ~26-55 ms RPC on this runtime, ~2-4x a 16-step
+        chunk's device compute):
+
+        1. SCHEDULING-BASED REFILL — a slot is freed as soon as the host
+           has *scheduled* enough tokens for its request (first token +
+           launched chunks), not when those tokens have drained. The
+           remaining in-flight tokens route to the old request via the
+           bindings snapshotted at each launch, so refills have zero drain
+           latency. Only EOS-based early exit (and nothing else) depends
+           on drained token values, and acts ``pipeline`` chunks late.
+        2. PIPELINED DRAINS — each chunk's token block is fetched with a
+           launch-time ``copy_to_host_async`` and only consumed
+           ``pipeline`` chunks later, by which point the bytes are already
+           host-side and the drain is nearly free.
         """
         gen = gen or GenerationParams(temp=0.0)
         seed = gen.seed if gen.seed >= 0 else int(time.time())
@@ -300,9 +321,11 @@ class BatchedEngine:
 
         # host-side slot table
         slot_req: List[Optional[Request]] = [None] * self.B
-        slot_emitted = [0] * self.B
-        lengths_host = [0] * self.B
-        fresh_slots: List[int] = []   # refilled since the last drain
+        lengths_host = [0] * self.B   # device position mirror (prompt+decoded)
+        sched_new = [0] * self.B      # tokens SCHEDULED for the slot's request
+        fresh_slots: List[int] = []   # refilled since the last chunk launch
+        # in-flight chunks: (fetch array, chunk bindings, first-token bindings)
+        pending: List[tuple] = []
 
         toks = jnp.zeros((self.B, 1), jnp.int32)
         lengths = jnp.zeros((self.B,), jnp.int32)
@@ -314,6 +337,41 @@ class BatchedEngine:
         # prefill-sampled first tokens stay on device; they ride along with
         # the next drain (a device->host transfer per refill would dominate)
         first_buf = jnp.zeros((self.B,), jnp.int32)
+
+        def req_done(req: Optional[Request]) -> bool:
+            """Request complete: n_predict reached or EOS emitted.
+
+            Monotonic (a done request never becomes live again), which is
+            what makes draining against a launch-time snapshot safe.
+            """
+            if req is None:
+                return True
+            res = results[req.request_id]
+            n_new = len(res.ids) - res.prompt_len
+            if n_new >= req.n_predict:
+                return True
+            return (gen.stop_at_eos and n_new > 0
+                    and res.ids[-1] == gen.eos_token_id)
+
+        def slot_free(slot: int) -> bool:
+            """Slot can take a new request.
+
+            Free when (a) enough tokens are SCHEDULED for its request (the
+            tail is still in flight and drains to the old request via the
+            launch snapshots), (b) the KV capacity can't fit another full
+            chunk (the request truncates — lengths_host mirrors the DEVICE
+            position, so the next chunk would write cache rows
+            [pos, pos+chunk)), or (c) the drained results show the request
+            done early (EOS) — information that arrives ``pipeline`` chunks
+            late."""
+            req = slot_req[slot]
+            if req is None:
+                return True
+            if sched_new[slot] >= req.n_predict:
+                return True
+            if lengths_host[slot] + self.chunk > self.max_seq:
+                return True
+            return req_done(req)
 
         def refill(free_slots: List[int]):
             """Fill free slots from the queue with one batched prefill per
@@ -345,41 +403,63 @@ class BatchedEngine:
                     *new, src_row, mask)
                 for r, (slot, req) in enumerate(group):
                     slot_req[slot] = req
-                    slot_emitted[slot] = 0
                     lengths_host[slot] = lens[r]
+                    sched_new[slot] = 1   # the prefill-sampled first token
                     fresh_slots.append(slot)
 
-        def slot_done(slot: int) -> bool:
-            req = slot_req[slot]
-            if req is None:
-                return True
-            if slot_emitted[slot] >= req.n_predict:
-                return True
-            # Capacity: lengths_host mirrors the DEVICE position (prompt +
-            # decoded so far); the next chunk writes cache rows
-            # [pos, pos+chunk), so the slot is full once that would overrun.
-            # (slot_emitted must NOT be added here — those tokens are already
-            # counted inside lengths_host; double-counting truncated requests
-            # at roughly half capacity.)
-            if lengths_host[slot] + self.chunk > self.max_seq:
-                return True
-            res = results[req.request_id]
-            return (gen.stop_at_eos and len(res.new_ids) > 0
-                    and res.new_ids[-1] == gen.eos_token_id)
+        def drain(p) -> None:
+            """Fetch one chunk's token block and emit against the bindings
+            snapshotted at its launch. ``req_done`` re-checks per token so
+            n_predict/EOS cut emission mid-chunk."""
+            if p is None:
+                return
+            fetch, bound, fbound = p
+            # np.asarray alone: jax.block_until_ready is a ~35-55 ms sync
+            # RPC on this runtime, while the copy_to_host_async issued at
+            # launch has usually landed the bytes host-side already
+            vals = np.asarray(fetch)
+            firsts = vals[:self.B]
+            block = vals[self.B:].reshape(self.chunk, self.B)
+            for b in range(self.B):
+                if fbound[b] is not None and not req_done(fbound[b]):
+                    results[fbound[b].request_id].ids.append(int(firsts[b]))
+            for step_row in block:
+                for b in range(self.B):
+                    req = bound[b]
+                    if req is not None and not req_done(req):
+                        results[req.request_id].ids.append(int(step_row[b]))
 
-        while queue or any(not slot_done(b) for b in range(self.B)):
-            # refill free slots (one batched prefill per bucket)
-            free = [b for b in range(self.B) if queue and slot_done(b)]
+        while True:
+            # refill free slots (one batched prefill per bucket); freeing is
+            # scheduling-based, so n_predict-terminated requests refill with
+            # ZERO drain latency (only EOS early-exit lags)
+            free = [b for b in range(self.B) if queue and slot_free(b)]
             for b in free:
                 slot_req[b] = None
             refill(free)
 
-            if all(slot_done(b) for b in range(self.B)):
+            if all(slot_free(b) for b in range(self.B)):
+                if pending:
+                    drain(pending.pop(0))
+                    continue   # the drain may reveal EOS for bookkeeping
+                if fresh_slots:
+                    # prompt filled the cache to within one chunk: no decode
+                    # chunk will run, but the prefill-sampled first token is
+                    # still owed
+                    vals = np.asarray(first_buf)
+                    for b in fresh_slots:
+                        if not req_done(slot_req[b]):
+                            results[slot_req[b].request_id].ids.append(
+                                int(vals[b]))
+                    fresh_slots.clear()
+                    continue
                 break
 
             # decode a chunk in lockstep under ONE scan dispatch (per-step
             # dispatch + argument binding dominates otherwise); inactive
-            # slots compute garbage that the host simply doesn't emit
+            # slots compute garbage that the host simply doesn't emit.
+            # (Over-advanced garbage positions clamp inside
+            # dynamic_update_slice to the slot's own last cache row.)
             window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
                          self.max_seq)
             out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
@@ -387,30 +467,30 @@ class BatchedEngine:
                 self.params, toks, cache, lengths, rng, temps, top_ps,
                 top_ks, out_buf, n_steps=self.chunk, kv_window=window,
                 use_fused=self._use_fused(), all_greedy=all_greedy)
-            # ONE transfer fetches first tokens + the whole chunk block
-            fetched = np.asarray(jax.block_until_ready(
-                jnp.concatenate([first_buf, out_buf.reshape(-1)])))
-            firsts, block = fetched[:self.B], fetched[self.B:].reshape(
-                self.chunk, self.B)
-            for b in fresh_slots:
-                self._emit(b, int(firsts[b]), slot_req, slot_emitted,
-                           results, gen)
+            # ONE array fetches first tokens + the whole chunk block; slots
+            # already free at launch snapshot as unbound so their garbage
+            # lanes can't reach a truncated request
+            fetch = jnp.concatenate([first_buf, out_buf.reshape(-1)])
+            try:
+                # start the device->host copy NOW (behind this chunk only);
+                # by drain time next iteration it is already in flight
+                fetch.copy_to_host_async()
+            except Exception:   # pragma: no cover - backend-dependent
+                pass
+            bound = [slot_req[b] if not slot_free(b) else None
+                     for b in range(self.B)]
+            for b in range(self.B):
+                if bound[b] is not None:
+                    sched_new[b] += self.chunk
+            # firsts bind separately: a fresh slot whose prompt fills the
+            # cache to within one chunk has no valid chunk lanes but is
+            # still owed its prefill-sampled first token
+            fbound = [slot_req[b] if b in fresh_slots else None
+                      for b in range(self.B)]
             fresh_slots.clear()
-            for step_row in block:
-                for b in range(self.B):
-                    if not slot_done(b):
-                        self._emit(b, int(step_row[b]), slot_req,
-                                   slot_emitted, results, gen)
+            pending.append((fetch, bound, fbound))
+            if len(pending) > self.pipeline:
+                drain(pending.pop(0))   # overlaps the chunks still in flight
             for b in range(self.B):
                 lengths_host[b] += self.chunk
-
         return results
-
-    @staticmethod
-    def _emit(slot, tok_id, slot_req, slot_emitted, results, gen):
-        req = slot_req[slot]
-        if req is None:
-            return
-        res = results[req.request_id]
-        res.ids.append(tok_id)
-        slot_emitted[slot] += 1
