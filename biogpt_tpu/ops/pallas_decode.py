@@ -68,8 +68,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant.codecs import QK
+from ..quant.codecs import QK, GGML_TYPE_Q5_0, GGML_TYPE_Q5_1
 from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
+from .pallas_qmatmul import unpack_levels_swar
 
 _LANES = 128
 # Unpacked-weight-tile VMEM budget per matmul step (bytes of bf16).
@@ -124,7 +125,8 @@ def _block_mask(nb: int, width: int) -> jax.Array:
     return (blk == row).astype(jnp.bfloat16)
 
 
-def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
+def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
+         five_bit: bool = False):
     """(1, d_in) bf16 @ quantized planes -> (1, d_out) f32 (no bias).
 
     Same math as pallas_qmatmul._kernel: X' = block_mask * h makes the
@@ -149,12 +151,8 @@ def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
     outs = []
     for t0 in range(0, d_out, tile):
         if packed:
-            u = lv_ref[0, :, t0:t0 + tile]                # (d_in//2, tile) u8
-            v32 = pltpu.bitcast(u, jnp.uint32)
-            lo = pltpu.bitcast(v32 & jnp.uint32(0x0F0F0F0F), jnp.uint8)
-            hi = pltpu.bitcast((v32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.uint8)
-            lvt = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
-                                jnp.int8).astype(jnp.bfloat16)
+            lvt = unpack_levels_swar(lv_ref[0, :, t0:t0 + tile], d_in,
+                                     five_bit)            # (d_in, tile) bf16
         else:
             lvt = lv_ref[0, :, t0:t0 + tile].astype(jnp.bfloat16)
         col = None
@@ -175,7 +173,8 @@ def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
+def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
+            five_bit: bool = False):
     """(M, d_in) bf16 @ quantized planes -> (M, d_out) f32, dequant-then-dot.
 
     The M>1 formulation (see module docstring): per (chunk, tile) piece the
@@ -198,12 +197,8 @@ def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool):
     outs = []
     for t0 in range(0, d_out, tile):
         if packed:
-            u = lv_ref[0, :, t0:t0 + tile]                # (d_in//2, tile) u8
-            v32 = pltpu.bitcast(u, jnp.uint32)
-            lo = pltpu.bitcast(v32 & jnp.uint32(0x0F0F0F0F), jnp.uint8)
-            hi = pltpu.bitcast((v32 >> 4) & jnp.uint32(0x0F0F0F0F), jnp.uint8)
-            lvt = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
-                                jnp.int8).astype(jnp.bfloat16)
+            lvt = unpack_levels_swar(lv_ref[0, :, t0:t0 + tile], d_in,
+                                     five_bit)            # (d_in, tile) bf16
         else:
             lvt = lv_ref[0, :, t0:t0 + tile].astype(jnp.bfloat16)
         acc = None
@@ -240,7 +235,8 @@ def _head_mask(H: int, D: int) -> jax.Array:
     return (col == row).astype(jnp.bfloat16)
 
 
-def _make_kernel(names, *, D, H, KVB, eps, offset, packed, has_mins):
+def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
+                 has_mins):
     scale = 1.0 / math.sqrt(D // H)
 
     def kernel(*refs):
@@ -272,7 +268,7 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, has_mins):
             h = _ln(xres[:], vec("ln0w"), vec("ln0b"), eps)
             h_bf = h.astype(jnp.bfloat16)
             qkv = _qmm(h_bf, r["qkv_lv"], r["qkv_sc"], mn("qkv"),
-                       offset=offset, packed=packed)
+                       offset=offset, packed=packed, five_bit=five_bit)
             qkv = qkv + vec("qkv_b").astype(jnp.float32)
             q = qkv[:, :D] * scale
             k = qkv[:, D:2 * D]
@@ -321,15 +317,15 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, has_mins):
             ctx_flat = jnp.sum(ctx * _head_mask(H, D).astype(jnp.float32),
                                axis=0, keepdims=True)       # (1, D)
             attn = _qmm(ctx_flat.astype(jnp.bfloat16), r["o_lv"], r["o_sc"],
-                        mn("o"), offset=offset, packed=packed)
+                        mn("o"), offset=offset, packed=packed, five_bit=five_bit)
             x = xres[:] + attn + vec("o_b").astype(jnp.float32)
 
             h2 = _ln(x, vec("ln1w"), vec("ln1b"), eps).astype(jnp.bfloat16)
             f = _qmm(h2, r["fc1_lv"], r["fc1_sc"], mn("fc1"),
-                     offset=offset, packed=packed)
+                     offset=offset, packed=packed, five_bit=five_bit)
             f = _gelu_erf(f + vec("fc1_b").astype(jnp.float32))
             out = _qmm(f.astype(jnp.bfloat16), r["fc2_lv"], r["fc2_sc"],
-                       mn("fc2"), offset=offset, packed=packed)
+                       mn("fc2"), offset=offset, packed=packed, five_bit=five_bit)
             xres[:] = x + out + vec("fc2_b").astype(jnp.float32)
 
             @pl.when(lyr == pl.num_programs(0) - 1)
@@ -340,7 +336,7 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, has_mins):
 
 
 def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
-                         has_mins):
+                         five_bit, has_mins):
     """Batched (B <= 8) variant of :func:`_make_kernel`.
 
     Differences from the single-stream kernel: ``past`` is a per-slot SMEM
@@ -387,7 +383,7 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
 
             h = _ln(xres[:], vec("ln0w"), vec("ln0b"), eps)     # (B, D)
             qkv = _qmm_dq(h.astype(jnp.bfloat16), r["qkv_lv"], r["qkv_sc"],
-                          mn("qkv"), offset=offset, packed=packed)
+                          mn("qkv"), offset=offset, packed=packed, five_bit=five_bit)
             qkv = qkv + vec("qkv_b").astype(jnp.float32)
             q = qkv[:, :D] * scale
             k = qkv[:, D:2 * D]
@@ -447,15 +443,15 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
                                ctx * hm_t.astype(jnp.float32),
                                preferred_element_type=jnp.float32)
             attn = _qmm_dq(ctx_flat.astype(jnp.bfloat16), r["o_lv"],
-                           r["o_sc"], mn("o"), offset=offset, packed=packed)
+                           r["o_sc"], mn("o"), offset=offset, packed=packed, five_bit=five_bit)
             x = xres[:] + attn + vec("o_b").astype(jnp.float32)
 
             h2 = _ln(x, vec("ln1w"), vec("ln1b"), eps).astype(jnp.bfloat16)
             f = _qmm_dq(h2, r["fc1_lv"], r["fc1_sc"], mn("fc1"),
-                        offset=offset, packed=packed)
+                        offset=offset, packed=packed, five_bit=five_bit)
             f = _gelu_erf(f + vec("fc1_b").astype(jnp.float32))
             out = _qmm_dq(f.astype(jnp.bfloat16), r["fc2_lv"], r["fc2_sc"],
-                          mn("fc2"), offset=offset, packed=packed)
+                          mn("fc2"), offset=offset, packed=packed, five_bit=five_bit)
             xres[:] = x + out + vec("fc2_b").astype(jnp.float32)
 
             @pl.when(lyr == pl.num_programs(0) - 1)
@@ -525,6 +521,7 @@ def decode_step_fused(
     packed = qkv.packed
     has_mins = qkv.mins is not None
     offset = LEVEL_OFFSET[qkv.qtype] if packed else 0
+    five_bit = packed and qkv.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
     W = min(window, S)
     KVB = kv_block or _kv_block(W)
     if W % KVB != 0:
@@ -605,11 +602,12 @@ def decode_step_fused(
 
     if B == 1:
         kernel = _make_kernel(names, D=D, H=H, KVB=KVB, eps=ln_eps,
-                              offset=offset, packed=packed, has_mins=has_mins)
+                              offset=offset, packed=packed,
+                              five_bit=five_bit, has_mins=has_mins)
     else:
         kernel = _make_kernel_batched(
-            names, B=B, D=D, H=H, KVB=KVB, eps=ln_eps,
-            offset=offset, packed=packed, has_mins=has_mins)
+            names, B=B, D=D, H=H, KVB=KVB, eps=ln_eps, offset=offset,
+            packed=packed, five_bit=five_bit, has_mins=has_mins)
 
     # bytes: levels+scales+biases per layer, KV window, outputs
     wbytes = sum(int(jnp.size(layers[n]["w"].levels))

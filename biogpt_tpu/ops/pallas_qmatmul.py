@@ -31,14 +31,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant.codecs import QK
+from ..quant.codecs import QK, GGML_TYPE_Q5_0, GGML_TYPE_Q5_1
 from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
 
 # lane width of the VPU/MXU — output tiles must align to it
 _LANES = 128
 
 
-def _kernel(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int, packed: bool):
+def unpack_levels_swar(u, d_in: int, five_bit: bool) -> jax.Array:
+    """In-kernel unpack: packed byte tile (rows, T) -> bf16 (d_in, T).
+
+    SWAR through u32 lanes — Mosaic has no u8 shifts, so 4 bytes are
+    reinterpreted as one u32, masked/shifted there, and reinterpreted back.
+    4-bit formats: split-half nibbles (rows = d_in//2). 5-bit formats: the
+    nibble section is followed by a split-eighth fifth-bit plane (rows =
+    d_in//2 + d_in//8); each bit p of byte row j is bit 4 of level row
+    j + p*d_in//8 (quant.layouts.pack_nibble_planes). Levels come out
+    UNCENTERED (0..15 / 0..31) — callers fold LEVEL_OFFSET into their
+    epilogue.
+    """
+    nib = u[:d_in // 2] if five_bit else u
+    v = pltpu.bitcast(nib, jnp.uint32)
+    lo = pltpu.bitcast(v & jnp.uint32(0x0F0F0F0F), jnp.uint8)
+    hi = pltpu.bitcast((v >> 4) & jnp.uint32(0x0F0F0F0F), jnp.uint8)
+    lv = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
+                       jnp.int8).astype(jnp.bfloat16)
+    if five_bit:
+        b32 = pltpu.bitcast(u[d_in // 2:], jnp.uint32)
+        fifth = jnp.concatenate(
+            [pltpu.bitcast((b32 >> p) & jnp.uint32(0x01010101), jnp.uint8)
+             for p in range(8)], axis=0)
+        fifth = pltpu.bitcast(fifth, jnp.int8).astype(jnp.bfloat16)
+        lv = lv + fifth * jnp.bfloat16(16.0)
+    return lv
+
+
+def _kernel(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int,
+            packed: bool, five_bit: bool = False):
     """One d_out tile, block-structured to stay off the VPU critical path.
 
     Naive fused dequant (scale every weight element, then matmul) is
@@ -61,17 +90,7 @@ def _kernel(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int, packed: bool
     nb = d_in // QK
 
     if packed:
-        # SWAR unpack: Mosaic has no u8 shifts, so reinterpret 4 bytes as
-        # one u32 lane, mask/shift there, and reinterpret back — 4 nibbles
-        # per op instead of per-element widening.
-        u = lv_ref[:]                                   # (d_in//2, T) uint8
-        v = pltpu.bitcast(u, jnp.uint32)                # (d_in//2, T//4)
-        lo32 = v & jnp.uint32(0x0F0F0F0F)
-        hi32 = (v >> 4) & jnp.uint32(0x0F0F0F0F)
-        lo = pltpu.bitcast(lo32, jnp.uint8)             # (d_in//2, T)
-        hi = pltpu.bitcast(hi32, jnp.uint8)
-        lv = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
-                           jnp.int8).astype(jnp.bfloat16)
+        lv = unpack_levels_swar(lv_ref[:], d_in, five_bit)  # (d_in, T) bf16
     else:
         lv = lv_ref[:].astype(jnp.bfloat16)             # (d_in, T)
 
@@ -131,8 +150,10 @@ def qmatmul_pallas(x: jax.Array, qt: QuantizedTensor, interpret: bool = False) -
     T = _pick_tile(d_out)
     nb = d_in // QK
     offset = LEVEL_OFFSET[qt.qtype] if qt.packed else 0
+    five_bit = qt.packed and qt.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
 
-    lv_rows = qt.levels.shape[0]  # d_in (unpacked) or d_in//2 (packed)
+    # d_in (unpacked), d_in//2 (4-bit packed), d_in//2 + d_in//8 (5-bit)
+    lv_rows = qt.levels.shape[0]
     grid = (d_out // T,)
 
     in_specs = [
@@ -145,11 +166,12 @@ def qmatmul_pallas(x: jax.Array, qt: QuantizedTensor, interpret: bool = False) -
         in_specs.append(pl.BlockSpec((nb, T), lambda j: (0, j),
                                      memory_space=pltpu.VMEM))
         args.append(qt.mins)
-        kernel = functools.partial(_kernel, offset=offset, packed=qt.packed)
+        kernel = functools.partial(_kernel, offset=offset, packed=qt.packed,
+                                   five_bit=five_bit)
     else:
         def kernel(x_ref, lv_ref, sc_ref, out_ref):
             _kernel(x_ref, lv_ref, sc_ref, None, out_ref,
-                    offset=offset, packed=qt.packed)
+                    offset=offset, packed=qt.packed, five_bit=five_bit)
 
     level_bytes = lv_rows * d_out * qt.levels.dtype.itemsize
     cost = pl.CostEstimate(

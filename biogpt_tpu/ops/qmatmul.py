@@ -28,7 +28,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..quant.codecs import QK
+from ..quant.codecs import QK, GGML_TYPE_Q5_0, GGML_TYPE_Q5_1
 from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
 
 # Pallas kernel usage: "auto" (TPU + supported shapes), True (force,
@@ -42,11 +42,27 @@ def set_pallas_mode(mode) -> None:
 
 
 def _unpack_levels(w: QuantizedTensor) -> jax.Array:
-    """jnp unpack of split-half nibble planes -> centered int8 (d_in, d_out)."""
+    """jnp unpack of a packed byte plane -> centered int8 (d_in, d_out).
+
+    Split-half nibbles for the 4-bit formats; for the 5-bit formats the
+    trailing d_in//8 rows are the split-eighth fifth-bit plane (see
+    quant.layouts.pack_nibble_planes). Operates on standalone (chunks=1)
+    packed tensors — which includes each LOCAL shard of a chunked TP pack.
+    """
     packed = jnp.asarray(w.levels)
-    lo = (packed & 0x0F).astype(jnp.int8)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
-    return jnp.concatenate([lo, hi], axis=0) - jnp.int8(LEVEL_OFFSET[w.qtype])
+    five_bit = w.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
+    rows = packed.shape[0]
+    d_in = rows * 8 // 5 if five_bit else rows * 2
+    nib = packed[:d_in // 2]
+    lo = (nib & 0x0F).astype(jnp.int8)
+    hi = ((nib >> 4) & 0x0F).astype(jnp.int8)
+    lv = jnp.concatenate([lo, hi], axis=0)
+    if five_bit:
+        plane = packed[d_in // 2:]
+        fifth = jnp.concatenate(
+            [((plane >> p) & 1).astype(jnp.int8) for p in range(8)], axis=0)
+        lv = lv | (fifth << 4)
+    return lv - jnp.int8(LEVEL_OFFSET[w.qtype])
 
 
 def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jax.Array:

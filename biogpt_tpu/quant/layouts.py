@@ -174,18 +174,32 @@ def quantize_to_planes(w_out_in: np.ndarray, qtype: int) -> QuantizedTensor:
 
 
 def pack_nibble_planes(qt: QuantizedTensor, chunks: int = 1) -> QuantizedTensor:
-    """Pack a 4-bit-format plane tensor to two-levels-per-byte (split-half).
+    """Pack a 4/5-bit-format plane tensor into a dense byte plane.
 
-    Levels are stored UNCENTERED (0..15); consumers subtract
-    ``LEVEL_OFFSET[qtype]`` after unpacking. No-op for non-4-bit formats.
+    4-bit formats (Q4_0/Q4_1) pack two levels per byte in split-half order:
+    byte row i holds level row i (low nibble) and row i + d_in//2 (high
+    nibble) — 0.5 B/weight.
+
+    5-bit formats (Q5_0/Q5_1) pack the low 4 bits exactly like Q4 and
+    append a FIFTH-BIT plane of d_in//8 byte rows in split-eighth order
+    (byte row j, bit p = bit 4 of level row j + p*d_in//8) — 0.625 B/weight
+    in one contiguous (d_in//2 + d_in//8, d_out) array. Both sections
+    unpack to natural row order with a concat (no row shuffles), which is
+    what the Mosaic SWAR unpack needs (ops/pallas_qmatmul._unpack_levels).
+
+    Levels are stored UNCENTERED (0..15 / 0..31); consumers subtract
+    ``LEVEL_OFFSET[qtype]`` after unpacking. No-op for Q8_0 (already one
+    dense byte per weight).
 
     ``chunks`` > 1 packs each of ``chunks`` equal d_in chunks independently
-    (split-half WITHIN each chunk): a d_in shard of the result unpacks
-    shard-locally — required for row-parallel tensor-parallel weights,
-    where each shard owns a contiguous d_in range (parallel/tp.py). A
-    chunked-packed tensor must be unpacked with the SAME ``chunks``.
+    (split-half/eighth WITHIN each chunk): a d_in shard of the result
+    unpacks shard-locally — required for row-parallel tensor-parallel
+    weights, where each shard owns a contiguous d_in range (parallel/tp.py).
+    A chunked-packed tensor must be unpacked with the SAME ``chunks``.
     """
-    if qt.packed or qt.qtype not in (GGML_TYPE_Q4_0, GGML_TYPE_Q4_1):
+    five_bit = qt.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
+    if qt.packed or qt.qtype not in (GGML_TYPE_Q4_0, GGML_TYPE_Q4_1,
+                                     GGML_TYPE_Q5_0, GGML_TYPE_Q5_1):
         return qt
     levels = np.asarray(qt.levels)
     d_in = levels.shape[-2]  # supports layer-stacked (L, d_in, d_out) planes
@@ -194,11 +208,19 @@ def pack_nibble_planes(qt: QuantizedTensor, chunks: int = 1) -> QuantizedTensor:
     uncentered = (levels.astype(np.int16) + LEVEL_OFFSET[qt.qtype]).astype(np.uint8)
     per = d_in // chunks
     half = per // 2
+    eighth = per // 8
     pieces = []
     for c in range(chunks):
         u = uncentered[..., c * per:(c + 1) * per, :]
-        pieces.append(u[..., :half, :] | (u[..., half:, :] << 4))
-    packed = pieces[0] if chunks == 1 else np.concatenate(pieces, axis=-2)
+        lo4 = u & 0x0F
+        pieces.append(lo4[..., :half, :] | (lo4[..., half:, :] << 4))
+        if five_bit:
+            bit4 = (u >> 4) & 0x01                     # (.., per, d_out) 0/1
+            plane = np.zeros(u.shape[:-2] + (eighth, u.shape[-1]), np.uint8)
+            for p in range(8):
+                plane |= bit4[..., p * eighth:(p + 1) * eighth, :] << p
+            pieces.append(plane)
+    packed = pieces[0] if len(pieces) == 1 else np.concatenate(pieces, axis=-2)
     return QuantizedTensor(levels=packed, scales=qt.scales, mins=qt.mins,
                            qtype=qt.qtype, packed=True)
 
@@ -207,14 +229,26 @@ def unpack_nibble_planes(qt: QuantizedTensor, chunks: int = 1) -> QuantizedTenso
     """Inverse of :func:`pack_nibble_planes` (numpy, same ``chunks``)."""
     if not qt.packed:
         return qt
+    five_bit = qt.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
     packed = np.asarray(qt.levels)
-    per = packed.shape[-2] // chunks
+    per_rows = packed.shape[-2] // chunks   # d_in*(5/8 | 1/2)/chunks per chunk
+    per = per_rows * 8 // 5 if five_bit else per_rows * 2
+    half = per // 2
+    eighth = per // 8
     pieces = []
     for c in range(chunks):
-        u = packed[..., c * per:(c + 1) * per, :]
-        lo = (u & 0x0F).astype(np.int16)
-        hi = ((u >> 4) & 0x0F).astype(np.int16)
-        pieces.append(np.concatenate([lo, hi], axis=-2))
+        u = packed[..., c * per_rows:(c + 1) * per_rows, :]
+        nib = u[..., :half, :]
+        lo = (nib & 0x0F).astype(np.int16)
+        hi = ((nib >> 4) & 0x0F).astype(np.int16)
+        lv = np.concatenate([lo, hi], axis=-2)          # (.., per, d_out)
+        if five_bit:
+            plane = u[..., half:, :]
+            fifth = np.concatenate(
+                [((plane >> p) & 0x01).astype(np.int16) for p in range(8)],
+                axis=-2)
+            lv = lv | (fifth << 4)
+        pieces.append(lv)
     levels = (np.concatenate(pieces, axis=-2) if chunks > 1 else pieces[0])
     levels = (levels - LEVEL_OFFSET[qt.qtype]).astype(np.int8)
     return QuantizedTensor(levels=levels, scales=qt.scales, mins=qt.mins,

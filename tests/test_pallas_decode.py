@@ -151,6 +151,18 @@ def test_fused_decode_batched_mins_format():
         np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
 
 
+@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q5_0,
+                                   codecs.GGML_TYPE_Q5_1])
+def test_fused_decode_batched_packed_5bit(qtype):
+    """Batched dequant-then-dot with the packed fifth-bit plane unpack."""
+    params = _packed_params(qtype)
+    assert params["layers"]["qkv"]["w"].packed   # 5-bit formats pack now
+    for logits_o, logits_f, *_ in _batched_step_pair(
+            qtype, past_list=[2, 9], window=16, n_steps=2):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+
+
 def test_fused_decode_batched_multiblock_kv():
     """Batched online softmax across multiple KV grid steps (nW > 1)."""
     for logits_o, logits_f, *_ in _batched_step_pair(

@@ -33,7 +33,21 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(back.levels, qt.levels)
 
 
-def test_pack_noop_for_non4bit():
+@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q5_0,
+                                   codecs.GGML_TYPE_Q5_1])
+@pytest.mark.parametrize("chunks", [1, 2])
+def test_pack_unpack_roundtrip_5bit(qtype, chunks):
+    qt = _qt(qtype, d_out=256, d_in=256)
+    packed = pack_nibble_planes(qt, chunks=chunks)
+    assert packed.packed and packed.levels.dtype == np.uint8
+    # nibble plane (d_in//2) + fifth-bit plane (d_in//8): 0.625 B/weight
+    d_in = qt.levels.shape[0]
+    assert packed.levels.shape == (d_in // 2 + d_in // 8, qt.levels.shape[1])
+    back = unpack_nibble_planes(packed, chunks=chunks)
+    np.testing.assert_array_equal(back.levels, qt.levels)
+
+
+def test_pack_noop_for_q8():
     qt = _qt(codecs.GGML_TYPE_Q8_0)
     assert pack_nibble_planes(qt) is qt
 
@@ -61,7 +75,10 @@ def test_kernel_matches_oracle_unpacked(qtype, m):
     np.testing.assert_allclose(got, ref, rtol=1e-2, atol=8e-2)
 
 
-@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q4_0, codecs.GGML_TYPE_Q4_1])
+@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q4_0,
+                                   codecs.GGML_TYPE_Q4_1,
+                                   codecs.GGML_TYPE_Q5_0,
+                                   codecs.GGML_TYPE_Q5_1])
 def test_kernel_matches_oracle_packed(qtype):
     qt = pack_nibble_planes(_qt(qtype, d_out=512, d_in=256, seed=2))
     assert qt.packed
@@ -70,6 +87,22 @@ def test_kernel_matches_oracle_packed(qtype):
     got = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, interpret=True))
     expect = x @ np.asarray(dequantize(qt))
     np.testing.assert_allclose(got, expect, rtol=2e-2, atol=2e-1)
+
+
+@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q5_0,
+                                   codecs.GGML_TYPE_Q5_1])
+def test_matmul_dispatch_packed_5bit_xla_fallback(qtype):
+    """The jnp fifth-bit unpack (ops.qmatmul._unpack_levels) matches the
+    oracle exactly — exercised when Pallas is unavailable."""
+    from biogpt_tpu.ops import matmul
+
+    base = _qt(qtype, d_out=512, d_in=256)
+    qt = pack_nibble_planes(base)
+    rng = np.random.RandomState(4)
+    x = rng.randn(3, 256).astype(np.float32)
+    got = np.asarray(matmul(jnp.asarray(x), qt))
+    expect = x @ np.asarray(dequantize(base))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
 
 
 def test_supports_rejects_unaligned():

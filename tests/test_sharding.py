@@ -174,6 +174,35 @@ def test_tp_forward_packed_pallas_matches(tp_params_q4):
     assert np.asarray(pall).argmax(-1) == np.asarray(xla).argmax(-1)
 
 
+def test_tp_forward_matches_single_q5(tp_params_q4):
+    """Row-parallel chunked 5-bit packing (nibble + fifth-bit plane per
+    shard chunk) stays numerically consistent under TP."""
+    from biogpt_tpu.models.biogpt import forward
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    sd = make_state_dict(TPCFG, seed=17)
+    params = params_from_state_dict(sd, TPCFG, qtype=codecs.GGML_TYPE_Q5_0)
+    mesh = make_mesh(1, 4)
+    tpp = shard_params_tp(pack_params_tp(params, 4), mesh)
+    assert tpp["layers"]["fc2"]["w"].packed    # 5-bit row-parallel packs
+    fwd = jax.jit(make_tp_forward(mesh), static_argnames=(
+        "config", "compute_dtype", "causal", "logits_mode", "allow_pallas"))
+    ids = np.random.RandomState(2).randint(3, 299, size=(1, 5)).astype(np.int32)
+    cache = init_cache(TPCFG, batch=1, max_len=32, dtype=jnp.float16)
+    base, _ = jax.jit(forward, static_argnames=(
+        "config", "compute_dtype", "causal", "logits_mode", "allow_pallas"))(
+        params, jnp.asarray(ids), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="last", allow_pallas=False)
+    got, _ = fwd(
+        tpp, jnp.asarray(ids), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="last", allow_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-2, atol=2e-2)
+    assert (np.asarray(got).argmax(-1) == np.asarray(base).argmax(-1)).all()
+
+
 def test_tp_engine_generate_matches(tp_params_q4):
     from biogpt_tpu.config import GenerationParams
 
