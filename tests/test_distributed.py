@@ -1,0 +1,75 @@
+"""Multi-process runtime bring-up (parallel/distributed.py), on CPU.
+
+Spawns two real processes that form a jax.distributed cluster over
+localhost, run a cross-process collective, and execute a jitted reduction
+over a global 2x2 ("data", "model") mesh — the CPU stand-in for the
+multi-host pod bring-up the reference lacks entirely (SURVEY §2.1-2.2).
+
+Process 0 goes through the module launcher CLI
+(``python -m biogpt_tpu.parallel.distributed``) so ``main()`` is covered;
+process 1 calls ``initialize()`` directly.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_dist_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env() -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # 2 virtual CPU devices per process (fresh value: the parent's 8-device
+    # flag must not leak through)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=2"])
+    return env
+
+
+def test_two_process_cluster_runs_collectives():
+    port = _free_port()
+    env = _env()
+    p0 = subprocess.Popen(
+        [sys.executable, "-m", "biogpt_tpu.parallel.distributed",
+         "--coordinator", f"localhost:{port}", "--num-processes", "2",
+         "--process-id", "0", "--", WORKER, str(port), "0", "launcher"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    p1 = subprocess.Popen(
+        [sys.executable, WORKER, str(port), "1", "api"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        out0, _ = p0.communicate(timeout=240)
+        out1, _ = p1.communicate(timeout=240)
+    except subprocess.TimeoutExpired:
+        p0.kill()
+        p1.kill()
+        raise
+    assert p0.returncode == 0, out0
+    assert p1.returncode == 0, out1
+    assert "DIST_OK 0" in out0, out0
+    assert "DIST_OK 1" in out1, out1
+
+
+def test_initialize_noop_single_process():
+    """num_processes <= 1 must not touch the distributed runtime (the
+    single-host path calls this unconditionally)."""
+    from biogpt_tpu.parallel.distributed import initialize
+
+    initialize(num_processes=1)   # no-op; would raise if it tried to init
