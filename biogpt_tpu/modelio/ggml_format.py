@@ -13,8 +13,13 @@ consumed by ``biogpt_model_load``, ``/root/reference/biogpt.cpp:27-453``):
       int32 dims[n_dims]  (REVERSED vs torch order: dims[0] is fastest),
       name bytes, raw tensor data}
 
-Existing reference-produced model files load unchanged, and files written
-here load in the reference engine.
+Existing reference-produced model files load unchanged. The converse claim
+— files written here load in the reference engine — is by-construction
+(the reference binary cannot be built in this environment: its ggml
+submodule is absent from the mount) and cross-checked against an
+independent C++ re-implementation of the reference loader contract,
+``csrc/bgpt_reader.cpp``, which shares no code with this module
+(tests/test_native.py::test_model_file_parses_in_independent_cpp_reader).
 """
 
 from __future__ import annotations
