@@ -1,4 +1,6 @@
 """Time the decode megakernel standalone at B=1 vs B=8 on the real chip."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import time, sys
 import jax, jax.numpy as jnp, numpy as np
 

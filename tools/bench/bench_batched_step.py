@@ -4,6 +4,8 @@ Times lax.scan over: (a) kernel only, (b) kernel + cache writes,
 (c) full forward_fused_decode + greedy, to locate the gap between the
 0.56 ms standalone kernel and the ~2.9 ms serving step.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import time
 import jax, jax.numpy as jnp, numpy as np
 

@@ -3,6 +3,8 @@
 Throwaway diagnostic: drives Engine.generate (the production path) at 347M
 Q4_0 and reports marginal tokens/s, comparing against the per-step path.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import sys
 import time
 

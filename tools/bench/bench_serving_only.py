@@ -1,4 +1,6 @@
 """Standalone serving-aggregate bench (mirrors bench.py's bench_serving)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import sys
 import time
 

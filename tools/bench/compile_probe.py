@@ -3,6 +3,8 @@
 Also enables the persistent compilation cache to test it works through the
 axon PJRT plugin.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import sys
 import time
 

@@ -2,6 +2,8 @@
 
 Throwaway diagnostic for the scan-chunked decode path.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import glob
 import json
 import sys

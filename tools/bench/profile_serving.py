@@ -5,6 +5,8 @@ where wall-clock goes during a bench-shaped serve (24 reqs, B=8, 48 tokens).
 Blocking per call kills async pipelining, so absolute totals are upper
 bounds — the per-phase split is the signal.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import sys, time, collections
 import jax, jax.numpy as jnp, numpy as np
 
