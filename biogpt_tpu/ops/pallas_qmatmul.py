@@ -54,16 +54,24 @@ def unpack_levels_swar(u, d_in: int, five_bit: bool) -> jax.Array:
     v = pltpu.bitcast(nib, jnp.uint32)
     lo = pltpu.bitcast(v & jnp.uint32(0x0F0F0F0F), jnp.uint8)
     hi = pltpu.bitcast((v >> 4) & jnp.uint32(0x0F0F0F0F), jnp.uint8)
-    lv = pltpu.bitcast(jnp.concatenate([lo, hi], axis=0),
-                       jnp.int8).astype(jnp.bfloat16)
+    low4 = jnp.concatenate([lo, hi], axis=0)            # (d_in, T) 0..15
     if five_bit:
-        b32 = pltpu.bitcast(u[d_in // 2:], jnp.uint32)
-        fifth = jnp.concatenate(
-            [pltpu.bitcast((b32 >> p) & jnp.uint32(0x01010101), jnp.uint8)
-             for p in range(8)], axis=0)
-        fifth = pltpu.bitcast(fifth, jnp.int8).astype(jnp.bfloat16)
-        lv = lv + fifth * jnp.bfloat16(16.0)
-    return lv
+        # fold bit 4 in the INTEGER domain: a bf16 multiply-add per element
+        # here costs more VPU time than the packing saves in HBM (measured
+        # 0.89 vs 0.25 ms/token at 347M) — the u32-lane OR keeps the only
+        # per-element heavy op the same int8->bf16 cast the 4-bit path pays
+        b32 = pltpu.bitcast(u[d_in // 2:], jnp.uint32)  # (d_in//8, T/4)
+        # extract bit p of each byte PRE-SHIFTED to bit 4 (one shift+mask
+        # per piece instead of extract-then-reshift over the full plane)
+        fifth4 = jnp.concatenate(
+            [pltpu.bitcast(
+                ((b32 << (4 - p)) if p <= 4 else (b32 >> (p - 4)))
+                & jnp.uint32(0x10101010), jnp.uint8)
+             for p in range(8)], axis=0)                # (d_in, T) 0/16
+        low4 = pltpu.bitcast(
+            pltpu.bitcast(low4, jnp.uint32)
+            | pltpu.bitcast(fifth4, jnp.uint32), jnp.uint8)
+    return pltpu.bitcast(low4, jnp.int8).astype(jnp.bfloat16)
 
 
 def _kernel(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int,
