@@ -116,3 +116,40 @@ def test_batched_refill_mixed_lengths(tiny_params, single_engine):
     results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
     for i, p in enumerate(prompts):
         assert results[i].ids == _expected(single_engine, p, 5), i
+
+
+def test_pipeline_depth_invariant(tiny_params, single_engine):
+    """Results must be identical at every drain-pipeline depth (the depth
+    only changes WHEN blocks are fetched, never what they contain)."""
+    prompts = [[2, 5, 9], [2, 11, 30, 41, 8], [2, 7], [2, 31], [2, 13, 17]]
+    outs = []
+    for depth in (1, 2, 4):
+        be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                           compute_dtype=jnp.float32, chunk=3,
+                           pipeline=depth)
+        reqs = [Request(prompt_ids=p, n_predict=5, request_id=i)
+                for i, p in enumerate(prompts)]
+        results = be.serve(reqs, GenerationParams(temp=0.0,
+                                                  stop_at_eos=False))
+        outs.append({i: results[i].ids for i in range(len(prompts))})
+    assert outs[0] == outs[1] == outs[2]
+    for i, p in enumerate(prompts):
+        assert outs[0][i] == _expected(single_engine, p, 5)
+
+
+def test_capacity_truncates_at_chunk_boundary(tiny_params, single_engine):
+    """A request that cannot fit another full chunk in the KV cache is
+    truncated (not silently wrapped) and its slot refills for the queue."""
+    be = BatchedEngine(TINY, tiny_params, max_batch=1,
+                       compute_dtype=jnp.float32, chunk=4, max_seq=16)
+    reqs = [Request(prompt_ids=[2, 5, 9], n_predict=40, request_id=0),
+            Request(prompt_ids=[2, 7], n_predict=3, request_id=1)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    # slot positions: prompt 3 + first + chunks of 4 while 3+4k+4 <= 16
+    n0 = len(results[0].new_ids)
+    assert 0 < n0 < 40
+    # truncated tokens must still match the single-stream prefix
+    expect = _expected(single_engine, [2, 5, 9], n0)
+    assert results[0].ids == expect
+    # the freed slot served the queued request to completion
+    assert results[1].ids == _expected(single_engine, [2, 7], 3)
