@@ -44,17 +44,28 @@ def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Arr
     return y * w.astype(jnp.float32) + b.astype(jnp.float32)
 
 
-def _project(x, wb, compute_dtype, allow_pallas=True, psum_axis=None):
+def _project(x, wb, compute_dtype, allow_pallas=True, psum_axis=None,
+             seq_scatter: bool = False):
     """x @ w [+ psum over a row-parallel shard axis] + b.
 
     ``psum_axis``: under shard_map tensor parallelism the row-parallel
     projections (o, fc2) hold a d_in shard, so each shard's matmul is a
     partial sum — reduced here BEFORE the (replicated) bias is added.
+
+    ``seq_scatter``: sequence-parallel prefill (Megatron-SP): reduce the
+    partial sums with ``psum_scatter`` over the sequence axis instead of a
+    full ``psum`` — each shard keeps only its own N/tp rows, halving the
+    collective bytes (an all-reduce = reduce_scatter + all_gather) and
+    letting XLA overlap the scatter with the next shard-local compute.
     """
     y = matmul(x, wb["w"], compute_dtype=compute_dtype,
                allow_pallas=allow_pallas)
     if psum_axis is not None:
-        y = jax.lax.psum(y, psum_axis)
+        if seq_scatter:
+            y = jax.lax.psum_scatter(y, psum_axis, scatter_dimension=1,
+                                     tiled=True)
+        else:
+            y = jax.lax.psum(y, psum_axis)
     return y + wb["b"].astype(jnp.float32)
 
 
@@ -72,6 +83,7 @@ def _attention(
     kv_window: Optional[int],    # static: attend over cache[:kv_window] only
     tp_axis: Optional[str] = None,   # shard_map model axis (TP)
     tp_size: int = 1,
+    tp_seq_shard: bool = False,  # sequence-parallel residuals (Megatron-SP)
 ) -> Tuple[jax.Array, KVCache]:
     B, N, D = x.shape
     # Under shard_map TP each shard owns n_head/tp contiguous heads: q/k/v
@@ -160,7 +172,7 @@ def _attention(
                      preferred_element_type=jnp.float32, precision=prec)
     ctx = ctx.reshape(B, N, H * Dk)
     out = _project(ctx, layer_params["o"], compute_dtype, allow_pallas,
-                   psum_axis=tp_axis)
+                   psum_axis=tp_axis, seq_scatter=tp_seq_shard)
     return out, cache
 
 
@@ -180,6 +192,7 @@ def forward(
                                              # real final token (padded prefill)
     tp_axis: Optional[str] = None,    # shard_map model-parallel axis name
     tp_size: int = 1,                 # static size of that axis
+    tp_seq_shard: bool = False,       # sequence-parallel prefill (Megatron-SP)
 ) -> Tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Pure; jit at the call site with
     ``static_argnames=("config", "compute_dtype", "causal", "logits_mode")``.
@@ -192,6 +205,16 @@ def forward(
     (parallel/tp.py), names the Megatron tensor-parallel mesh axis —
     q/k/v/fc1/lm_head are column-parallel shards and run local, o/fc2 are
     row-parallel and psum at their joins, logits all_gather at the end.
+
+    ``tp_seq_shard`` (requires ``tp_axis``, N % tp_size == 0): Megatron
+    sequence parallelism for prefill — the residual stream, LayerNorms and
+    residual adds run on each shard's own N/tp sequence rows; activations
+    ``all_gather`` (tiled over N) right before the column-parallel matmuls
+    and the row-parallel joins ``psum_scatter`` back to local rows. Same
+    math, half the collective bytes of a psum (all-reduce = RS + AG), no
+    redundant LN/residual compute, and the RS/AG pairs are XLA-async — the
+    collective-overlap scheduling of SURVEY §2.1(e). Attention itself stays
+    head-parallel over the full sequence (its K/V need every position).
     """
     B, N = tokens.shape
     emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
@@ -201,22 +224,36 @@ def forward(
     pos_emb = embedding_lookup(positions, params["embed_positions"])
     x = emb + pos_emb  # (B, N, D) float32
 
+    if tp_seq_shard:
+        assert tp_axis is not None and N % tp_size == 0 and N > 1
+        nloc = N // tp_size
+        x = jax.lax.dynamic_slice_in_dim(
+            x, jax.lax.axis_index(tp_axis) * nloc, nloc, axis=1)
+
+    def gather_seq(h):
+        # local N/tp rows -> full sequence, right before a column-parallel op
+        return (jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)
+                if tp_seq_shard else h)
+
     n_valid = jnp.asarray(N if last_index is None else last_index + 1, jnp.int32)
     for i in range(config.n_layer):
         layer = layer_slice(params["layers"], i)
         h = _layer_norm(x, layer["ln0"]["w"], layer["ln0"]["b"], config.ln_eps)
         attn_out, cache = _attention(
-            layer, h, cache, i, past, config, compute_dtype, causal, n_valid,
-            allow_pallas, kv_window, tp_axis=tp_axis, tp_size=tp_size)
+            layer, gather_seq(h), cache, i, past, config, compute_dtype,
+            causal, n_valid, allow_pallas, kv_window, tp_axis=tp_axis,
+            tp_size=tp_size, tp_seq_shard=tp_seq_shard)
         x = x + attn_out
         h = _layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], config.ln_eps)
-        h = _project(h, layer["fc1"], compute_dtype, allow_pallas)
+        h = _project(gather_seq(h), layer["fc1"], compute_dtype, allow_pallas)
         h = jax.nn.gelu(h, approximate=False)
         h = _project(h, layer["fc2"], compute_dtype, allow_pallas,
-                     psum_axis=tp_axis)
+                     psum_axis=tp_axis, seq_scatter=tp_seq_shard)
         x = x + h
 
-    x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"], config.ln_eps)
+    # final LN is row-independent: run it on local rows, THEN gather
+    x = gather_seq(_layer_norm(
+        x, params["final_ln"]["w"], params["final_ln"]["b"], config.ln_eps))
     if logits_mode == "last":
         idx = jnp.asarray(N - 1 if last_index is None else last_index, jnp.int32)
         if idx.ndim == 0:

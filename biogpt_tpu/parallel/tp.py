@@ -228,10 +228,17 @@ def shard_params_tp(params: dict, mesh: Mesh):
 
 # ---------------------------------------------------------------- forward
 
-def make_tp_forward(mesh: Mesh):
+def make_tp_forward(mesh: Mesh, seq_parallel: bool = True):
     """A drop-in for models.biogpt.forward that runs the whole step as a
     shard_map over ``mesh`` (see module docstring). Same signature/static
-    args, so the engine jits it exactly like the single-device forward."""
+    args, so the engine jits it exactly like the single-device forward.
+
+    ``seq_parallel``: prefill shapes whose sequence length divides the TP
+    degree run with Megatron sequence parallelism (residuals/LN sharded
+    over N, reduce_scatter+all_gather at the joins instead of psum — the
+    collective-overlap scheduling of SURVEY §2.1(e)). Decode (N=1) and
+    non-divisible lengths fall back to the psum formulation; both are
+    numerically identical (tests/test_sharding.py)."""
     tp = mesh.shape[MODEL_AXIS]
     dp = mesh.shape[DATA_AXIS]
 
@@ -258,6 +265,9 @@ def make_tp_forward(mesh: Mesh):
         logits_spec = (P(dspec, None) if logits_mode == "last"
                        else P(dspec, None, None))
 
+        N = tokens.shape[1]
+        seq_shard = seq_parallel and tp > 1 and N > 1 and N % tp == 0
+
         def body(params, tokens, cache, past, *rest):
             li = rest[0] if rest else None
             return forward(
@@ -265,7 +275,7 @@ def make_tp_forward(mesh: Mesh):
                 compute_dtype=compute_dtype, causal=causal,
                 logits_mode=logits_mode, allow_pallas=allow_pallas,
                 kv_window=kv_window, last_index=li,
-                tp_axis=MODEL_AXIS, tp_size=tp)
+                tp_axis=MODEL_AXIS, tp_size=tp, tp_seq_shard=seq_shard)
 
         return jax.shard_map(
             body, mesh=mesh, in_specs=tuple(in_specs),

@@ -214,3 +214,91 @@ def test_tp_engine_generate_matches(tp_params_q4):
     par = Engine(TPCFG, tp_params_q4, compute_dtype=jnp.float32, mesh=mesh)
     assert par._tp_fwd is not None    # the shard_map TP path is live
     assert base.generate(prompt, gen).ids == par.generate(prompt, gen).ids
+
+
+@pytest.mark.parametrize("data,model", [(1, 4), (2, 4)])
+def test_tp_seq_parallel_prefill_matches(tp_params_q4, data, model):
+    """Megatron sequence-parallel prefill (N % tp == 0: residuals/LN run on
+    N/tp local rows, reduce_scatter+all_gather at the joins) == the psum
+    formulation == single-device. SURVEY §2.1(e) collective overlap."""
+    from biogpt_tpu.models.biogpt import forward
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    mesh = make_mesh(data, model)
+    tpp = shard_params_tp(pack_params_tp(tp_params_q4, model), mesh)
+    statics = ("config", "compute_dtype", "causal", "logits_mode",
+               "allow_pallas")
+    fwd_sp = jax.jit(make_tp_forward(mesh), static_argnames=statics)
+    fwd_ps = jax.jit(make_tp_forward(mesh, seq_parallel=False),
+                     static_argnames=statics)
+    # N=8 divides tp=4 -> the sequence-parallel path engages
+    ids = np.random.RandomState(1).randint(3, 299, size=(2, 8)).astype(np.int32)
+    cache = init_cache(TPCFG, batch=2, max_len=32, dtype=jnp.float16)
+    base, cache_b = jax.jit(forward, static_argnames=statics)(
+        tp_params_q4, jnp.asarray(ids), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="all", allow_pallas=False)
+    sp, cache_sp = fwd_sp(
+        tpp, jnp.asarray(ids), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="all", allow_pallas=False)
+    ps, _ = fwd_ps(
+        tpp, jnp.asarray(ids), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="all", allow_pallas=False)
+    # packed planes hold bf16 scales (vs f16 unpacked) — small drift vs base
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(base),
+                               rtol=2e-2, atol=2e-2)
+    # SP vs psum run the SAME packed params: near-exact (reduction order)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ps),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(sp).argmax(-1) == np.asarray(base).argmax(-1)).all()
+    np.testing.assert_allclose(
+        np.asarray(cache_sp.k, np.float32), np.asarray(cache_b.k, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_tp_seq_parallel_emits_reduce_scatter(tp_params_q4):
+    """The SP lowering really uses reduce_scatter at the row-parallel joins
+    (vs all-reduce in the psum formulation)."""
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    mesh = make_mesh(1, 4)
+    tpp = shard_params_tp(pack_params_tp(tp_params_q4, 4), mesh)
+    statics = ("config", "compute_dtype", "causal", "logits_mode",
+               "allow_pallas")
+    ids = jnp.zeros((1, 8), jnp.int32)
+    cache = init_cache(TPCFG, batch=1, max_len=32, dtype=jnp.float16)
+
+    def lower(seq_parallel):
+        fwd = jax.jit(make_tp_forward(mesh, seq_parallel=seq_parallel),
+                      static_argnames=statics)
+        return fwd.lower(
+            tpp, ids, cache, jnp.int32(0), TPCFG,
+            compute_dtype=jnp.float32, logits_mode="last",
+            allow_pallas=False).as_text()
+
+    assert "reduce_scatter" in lower(True)
+    assert "reduce_scatter" not in lower(False)
+
+
+def test_tp_seq_parallel_falls_back_non_divisible(tp_params_q4):
+    """N=6 does not divide tp=4: the forward silently uses the psum path
+    and still matches single-device (covered by test_tp_forward_matches_
+    single) — here just assert no reduce_scatter is emitted."""
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    mesh = make_mesh(1, 4)
+    tpp = shard_params_tp(pack_params_tp(tp_params_q4, 4), mesh)
+    statics = ("config", "compute_dtype", "causal", "logits_mode",
+               "allow_pallas")
+    fwd = jax.jit(make_tp_forward(mesh), static_argnames=statics)
+    cache = init_cache(TPCFG, batch=1, max_len=32, dtype=jnp.float16)
+    txt = fwd.lower(
+        tpp, jnp.zeros((1, 6), jnp.int32), cache, jnp.int32(0), TPCFG,
+        compute_dtype=jnp.float32, logits_mode="last",
+        allow_pallas=False).as_text()
+    assert "reduce_scatter" not in txt
