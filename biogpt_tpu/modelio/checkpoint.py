@@ -152,7 +152,10 @@ def params_from_state_dict(
             records[name] = TensorRecord(name=name, shape=tuple(arr.shape),
                                          ttype=qtype, data=data)
         else:
+            # hand the array straight to the record: the bytes round-trip
+            # (astype -> tobytes -> frombuffer -> astype) copies the whole
+            # model three extra times — minutes at 347M on a throttled host
             records[name] = TensorRecord(name=name, shape=tuple(arr.shape),
                                          ttype=codecs.GGML_TYPE_F32,
-                                         data=arr.astype("<f4").tobytes())
+                                         data=arr)
     return params_from_records(records, config)

@@ -48,13 +48,15 @@ class TensorRecord:
 
     ``shape`` is in torch/row-major order (shape[-1] varies fastest — the
     file stores dims reversed; this struct un-reverses). ``data`` is the raw
-    on-disk bytes: f32/f16 values or ggml quant blocks per ``ttype``.
+    on-disk bytes (f32/f16 values or ggml quant blocks per ``ttype``), or —
+    for records built in memory from an existing array — the ndarray
+    itself, which skips a serialize/parse copy of the whole model.
     """
 
     name: str
     shape: Tuple[int, ...]
     ttype: int
-    data: bytes
+    data: "bytes | np.ndarray"
 
     @property
     def nelements(self) -> int:
@@ -71,6 +73,8 @@ class TensorRecord:
 
     def to_float32(self) -> np.ndarray:
         """Decode to float32 in torch orientation (dequantizing if needed)."""
+        if isinstance(self.data, np.ndarray):
+            return self.data.astype(np.float32, copy=False).reshape(self.shape)
         if self.ttype in _TTYPE_DTYPES:
             arr = np.frombuffer(self.data, dtype=_TTYPE_DTYPES[self.ttype])
             return arr.astype(np.float32).reshape(self.shape)

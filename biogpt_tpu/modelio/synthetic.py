@@ -8,6 +8,8 @@ vocabulary, and can serialize it through the real file format.
 
 from __future__ import annotations
 
+import json
+import os
 import string
 from pathlib import Path
 from typing import Dict, List, Tuple
@@ -45,8 +47,43 @@ def make_char_vocab(n_vocab: int) -> Tuple[Dict[str, int], List[Tuple[str, str]]
     return tokens, merges
 
 
-def make_state_dict(config: BioGptConfig, seed: int = 0, scale: float = 0.02) -> Dict[str, np.ndarray]:
+# Full-size synthetic state dicts cache to disk: legacy-numpy gaussian
+# generation runs ~1M values/s when this host's burstable CPU is throttled
+# (~6 minutes for the 347M config), while reloading the cached file takes
+# seconds. Values are deterministic in (shapes, seed, scale), so the cache
+# is a pure memoization — goldens stay bit-identical.
+_CACHE_DIR = os.environ.get(
+    "BIOGPT_SYNTH_CACHE", os.path.expanduser("~/.cache/biogpt_synth"))
+_CACHE_MIN_PARAMS = 10_000_000  # tiny test models regenerate instantly
+
+
+def _sd_cache_path(config: BioGptConfig, seed: int, scale: float) -> str:
+    """Cache DIRECTORY of raw .npy files (one per tensor + keys.json).
+
+    Not an .npz: np.load of a 1.5 GB zip costs minutes of CRC/copy CPU on
+    this host, while mmap'd .npy files open instantly and fault pages in
+    at disk speed.
+    """
+    key = (f"sd_v{config.n_vocab}_d{config.d_model}_l{config.n_layer}"
+           f"_f{config.d_ff}_p{config.n_positions}_h{config.n_head}"
+           f"_s{seed}_c{scale!r}".replace(".", "p"))
+    return os.path.join(_CACHE_DIR, key)
+
+
+def make_state_dict(config: BioGptConfig, seed: int = 0, scale: float = 0.02,
+                    cache: bool = True) -> Dict[str, np.ndarray]:
     """Random torch-layout state dict with the HF BioGPT names/shapes."""
+    n_params = (2 * config.n_vocab * config.d_model
+                + config.n_layer * (4 * config.d_model ** 2
+                                    + 2 * config.d_model * config.d_ff))
+    cache = cache and n_params >= _CACHE_MIN_PARAMS
+    path = _sd_cache_path(config, seed, scale)
+    manifest = os.path.join(path, "keys.json")
+    if cache and os.path.exists(manifest):
+        with open(manifest) as f:
+            keys = json.load(f)
+        return {k: np.load(os.path.join(path, f"{i}.npy"), mmap_mode="r")
+                for i, k in enumerate(keys)}
     rng = np.random.RandomState(seed)
 
     def w(*shape):
@@ -72,7 +109,73 @@ def make_state_dict(config: BioGptConfig, seed: int = 0, scale: float = 0.02) ->
         sd[p + "fc1.bias"] = w(config.d_ff)
         sd[p + "fc2.weight"] = w(config.d_model, config.d_ff)
         sd[p + "fc2.bias"] = w(config.d_model)
+    if cache:
+        try:
+            tmp = f"{path}.{os.getpid()}.tmp"
+            os.makedirs(tmp, exist_ok=True)
+            keys = list(sd)
+            for i, k in enumerate(keys):
+                np.save(os.path.join(tmp, f"{i}.npy"), sd[k])
+            with open(os.path.join(tmp, "keys.json"), "w") as f:
+                json.dump(keys, f)
+            os.replace(tmp, path)
+        except OSError:   # read-only/full disk/racing writer: best-effort
+            pass
     return sd
+
+
+def make_cached_params(config: BioGptConfig, seed: int = 0,
+                       scale: float = 0.02, qtype: int | None = None) -> dict:
+    """``params_from_state_dict(make_state_dict(...))`` with a params-level
+    disk cache.
+
+    The state-dict cache (above) removes the RNG cost, but the torch->kernel
+    conversion itself (transposes + layer stacking, ~3 GB of copies at 347M)
+    still costs minutes when this host throttles. Full-size params therefore
+    cache post-conversion as one .npy per pytree LEAF, loaded back with mmap
+    (instant); the tree structure is rebuilt from a tiny same-structure
+    template, so no pickling.
+    """
+    from .checkpoint import params_from_state_dict
+
+    n_params = (2 * config.n_vocab * config.d_model
+                + config.n_layer * (4 * config.d_model ** 2
+                                    + 2 * config.d_model * config.d_ff))
+    if n_params < _CACHE_MIN_PARAMS:
+        return params_from_state_dict(
+            make_state_dict(config, seed=seed, scale=scale), config, qtype)
+
+    import jax
+
+    path = _sd_cache_path(config, seed, scale) + f"_params_q{qtype}"
+    # structure template: same keys/leaf-count at any size (layers stack)
+    tiny = BioGptConfig.tiny()
+    template = params_from_state_dict(
+        make_state_dict(tiny, seed=0), tiny, qtype)
+    _, treedef = jax.tree.flatten(template)
+    manifest = os.path.join(path, "keys.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            n_leaves = json.load(f)["n_leaves"]
+        if n_leaves == treedef.num_leaves:
+            leaves = [np.load(os.path.join(path, f"{i}.npy"), mmap_mode="r")
+                      for i in range(n_leaves)]
+            return jax.tree.unflatten(treedef, leaves)
+    params = params_from_state_dict(
+        make_state_dict(config, seed=seed, scale=scale), config, qtype)
+    leaves, treedef2 = jax.tree.flatten(params)
+    assert treedef2 == treedef, "template structure mismatch"
+    try:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for i, leaf in enumerate(leaves):
+            np.save(os.path.join(tmp, f"{i}.npy"), np.asarray(leaf))
+        with open(os.path.join(tmp, "keys.json"), "w") as f:
+            json.dump({"n_leaves": len(leaves)}, f)
+        os.replace(tmp, path)
+    except OSError:   # best-effort cache
+        pass
+    return params
 
 
 def make_random_quantized_params(

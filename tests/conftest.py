@@ -19,4 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the full-size goldens test compiles a 347M f32
+# program that costs minutes on this host's throttled CPU; repeat runs hit
+# the cache instead.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/biogpt_xla_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 assert jax.devices()[0].platform == "cpu", jax.devices()

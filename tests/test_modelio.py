@@ -193,3 +193,27 @@ def test_vocab_shortfall_padding(tmp_path):
     assert len(rvocab) == config.n_vocab
     assert f"[_extra_token_{config.n_vocab - 1}]" in rvocab
     assert tensors == {}  # vocab-only file loads fine
+
+
+def test_state_dict_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """The full-size synthetic state dict memoizes to disk bit-exactly
+    (the goldens test depends on cached == regenerated)."""
+    from biogpt_tpu.modelio import synthetic
+
+    monkeypatch.setattr(synthetic, "_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(synthetic, "_CACHE_MIN_PARAMS", 0)
+    config = BioGptConfig.tiny()
+    fresh = make_state_dict(config, seed=9, scale=0.05)
+    cache_file = synthetic._sd_cache_path(config, 9, 0.05)
+    assert cache_file.startswith(str(tmp_path))
+    import os
+    assert os.path.exists(cache_file)
+    reloaded = make_state_dict(config, seed=9, scale=0.05)
+    assert fresh.keys() == reloaded.keys()
+    for k in fresh:
+        np.testing.assert_array_equal(fresh[k], reloaded[k])
+    # distinct seeds/scales get distinct keys
+    assert synthetic._sd_cache_path(config, 9, 0.05) != \
+        synthetic._sd_cache_path(config, 10, 0.05)
+    assert synthetic._sd_cache_path(config, 9, 0.05) != \
+        synthetic._sd_cache_path(config, 9, 0.1)
