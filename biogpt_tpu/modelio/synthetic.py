@@ -145,13 +145,27 @@ def make_cached_params(config: BioGptConfig, seed: int = 0,
         return params_from_state_dict(
             make_state_dict(config, seed=seed, scale=scale), config, qtype)
 
-    import jax
-
     path = _sd_cache_path(config, seed, scale) + f"_params_q{qtype}"
     # structure template: same keys/leaf-count at any size (layers stack)
     tiny = BioGptConfig.tiny()
     template = params_from_state_dict(
         make_state_dict(tiny, seed=0), tiny, qtype)
+    return _cached_pytree(
+        path, template,
+        lambda: params_from_state_dict(
+            make_state_dict(config, seed=seed, scale=scale), config, qtype))
+
+
+def _cached_pytree(path: str, template, build):
+    """Leaf-level .npy disk cache for a params pytree.
+
+    Leaves store as ``<path>/<i>.npy`` (mmap-loaded, instant); the tree
+    structure comes from ``template`` — a small pytree with the SAME
+    structure (synthetic params have size-independent structure because
+    layers stack) — so nothing is pickled.
+    """
+    import jax
+
     _, treedef = jax.tree.flatten(template)
     manifest = os.path.join(path, "keys.json")
     if os.path.exists(manifest):
@@ -161,8 +175,7 @@ def make_cached_params(config: BioGptConfig, seed: int = 0,
             leaves = [np.load(os.path.join(path, f"{i}.npy"), mmap_mode="r")
                       for i in range(n_leaves)]
             return jax.tree.unflatten(treedef, leaves)
-    params = params_from_state_dict(
-        make_state_dict(config, seed=seed, scale=scale), config, qtype)
+    params = build()
     leaves, treedef2 = jax.tree.flatten(params)
     assert treedef2 == treedef, "template structure mismatch"
     try:
@@ -179,16 +192,34 @@ def make_cached_params(config: BioGptConfig, seed: int = 0,
 
 
 def make_random_quantized_params(
-    config: BioGptConfig, qtype: int, seed: int = 0
+    config: BioGptConfig, qtype: int, seed: int = 0, cache: bool = True
 ) -> dict:
     """Random params with quantized weights built directly in plane layout.
 
-    Skips the codec (instant even at 347M scale) — for benchmarks and
-    compile checks where weight *values* don't matter but layouts, dtypes,
-    and byte volumes must be exactly those of a real quantized model.
+    Skips the codec — for benchmarks and compile checks where weight
+    *values* don't matter but layouts, dtypes, and byte volumes must be
+    exactly those of a real quantized model. Full-size results memoize to
+    disk like :func:`make_state_dict` (legacy-numpy randint also crawls at
+    ~1M values/s when this host throttles — minutes at 347M).
     """
     from ..quant.codecs import QK
     from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
+
+    n_params = (2 * config.n_vocab * config.d_model
+                + config.n_layer * (4 * config.d_model ** 2
+                                    + 2 * config.d_model * config.d_ff))
+    if cache and n_params >= _CACHE_MIN_PARAMS:
+        path = os.path.join(
+            _CACHE_DIR,
+            f"rq_v{config.n_vocab}_d{config.d_model}_l{config.n_layer}"
+            f"_f{config.d_ff}_p{config.n_positions}_h{config.n_head}"
+            f"_s{seed}_q{qtype}")
+        template = make_random_quantized_params(
+            BioGptConfig.tiny(), qtype, seed=0, cache=False)
+        return _cached_pytree(
+            path, template,
+            lambda: make_random_quantized_params(
+                config, qtype, seed=seed, cache=False))
 
     rng = np.random.RandomState(seed)
     lo = -LEVEL_OFFSET[qtype]
