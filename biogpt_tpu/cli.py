@@ -104,6 +104,12 @@ def main(argv=None) -> int:
         piece = tokenizer.id_to_token.get(tok_id, "<unk>")
         print(piece.replace("</w>", " ").replace("</s>", ""), end="", flush=True)
 
+    if len(prompt_ids) >= min(engine.max_seq, config.n_positions):
+        print(f"error: prompt is {len(prompt_ids)} tokens but the context "
+              f"window holds {min(engine.max_seq, config.n_positions)} — "
+              "no room to generate", file=sys.stderr)
+        return 1
+
     result = engine.generate(prompt_ids, gen,
                              stream_cb=stream if args.stream else None)
     if args.stream:
@@ -114,13 +120,14 @@ def main(argv=None) -> int:
     print(text)
 
     t_total = time.perf_counter() - t_start
-    t = result.timings
+    t = result.timings   # may be empty if n_predict clamped to 0
     print(file=sys.stderr)
     print(f"    load time = {timer.ms('load'):8.2f} ms", file=sys.stderr)
-    print(f" prefill time = {t['prefill_s'] * 1e3:8.2f} ms", file=sys.stderr)
-    print(f"  sample time = {t['sample_s'] * 1e3:8.2f} ms", file=sys.stderr)
-    print(f" predict time = {t['decode_s'] * 1e3:8.2f} ms / "
-          f"{t['ms_per_token']:.2f} ms per token", file=sys.stderr)
+    if t:
+        print(f" prefill time = {t['prefill_s'] * 1e3:8.2f} ms", file=sys.stderr)
+        print(f"  sample time = {t['sample_s'] * 1e3:8.2f} ms", file=sys.stderr)
+        print(f" predict time = {t['decode_s'] * 1e3:8.2f} ms / "
+              f"{t['ms_per_token']:.2f} ms per token", file=sys.stderr)
     print(f"   total time = {t_total * 1e3:8.2f} ms", file=sys.stderr)
     return 0
 

@@ -35,6 +35,12 @@ from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
 # interpret-mode off-TPU), False (XLA paths only).
 _PALLAS_MODE = "auto"
 
+# At and above this many activation rows, quantized matmuls dequantize the
+# weight and run one dense MXU dot instead of the block-accum einsum (whose
+# (m, nb, d_out) partials dominate memory traffic at prefill shapes).
+# Crossover: m * (d_in/QK) * 4B of partials vs d_in * 2B of bf16 weight.
+_DEQUANT_M_ROWS = 32
+
 
 def set_pallas_mode(mode) -> None:
     global _PALLAS_MODE
@@ -66,7 +72,7 @@ def _unpack_levels(w: QuantizedTensor) -> jax.Array:
 
 
 def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
-    """Materialize the dequantized kernel (d_in, d_out). Debug/oracle only."""
+    """Materialize the dequantized kernel (d_in, d_out)."""
     levels = _unpack_levels(w) if w.packed else jnp.asarray(w.levels)
     scales = jnp.repeat(w.scales.astype(dtype), QK, axis=0)
     out = levels.astype(dtype) * scales
@@ -128,6 +134,19 @@ def matmul(
     cd = compute_dtype or jnp.float32
     d_in, d_out = w.levels.shape
     nb = d_in // QK
+
+    if m >= _DEQUANT_M_ROWS:
+        # Prefill shapes: the block-accum formulation below materializes an
+        # (m, nb, d_out) f32 partial tensor (268 MB for fc2 at m=512) and
+        # its scale-reduce pass is memory-bound — at large m it ran ~14x
+        # off the FLOPs roofline. Dequantize-then-dot streams the weight
+        # once (elementwise unpack+scale, fused by XLA) and feeds the MXU
+        # one dense (m, d_in) x (d_in, d_out) matmul. Dequant happens in
+        # f32 and rounds once to the compute dtype — the same numerics as
+        # the megakernel's batched formulation (pallas_decode._qmm_dq).
+        wd = dequantize(w, dtype=jnp.float32).astype(cd)
+        return jnp.dot(x.astype(cd), wd, preferred_element_type=jnp.float32,
+                       precision=precision_for(cd))
     xb = x.reshape(*batch_shape, nb, QK).astype(cd)
     levels = w.levels.reshape(nb, QK, d_out).astype(cd)
     # per-block partial sums, f32 accumulation on the MXU

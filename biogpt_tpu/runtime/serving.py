@@ -83,17 +83,35 @@ class BatchedEngine:
         chunk: int = 16,
         pack_q4: bool = True,
         pipeline: int = 2,
+        mesh=None,
     ):
         self.config = config
         self.B = max_batch
         self.compute_dtype = compute_dtype
         self.max_seq = max_seq or config.n_positions
         self.chunk = chunk
+        self.mesh = mesh
         # in-flight chunk fetches before the host blocks on a drain: at
         # depth 2 a fetch has had ~2 chunk periods for device compute + the
         # ~26 ms device->host RTT, so drains come back essentially free
         self.pipeline = max(1, pipeline)
-        if pack_q4:
+        # Mesh path: the lockstep decode/prefill steps run as the shard_map
+        # TP forward (parallel/tp.py) — per-shard packed Pallas kernels at
+        # decode shapes, Megatron joins, sequence-parallel prefill. The
+        # single-device megakernel does not apply (its o-proj/FFN would
+        # need mid-kernel psums), so mesh serving uses the per-op path.
+        self._fwd = forward
+        self._tp = False
+        if mesh is not None and pack_q4:
+            from ..parallel.mesh import MODEL_AXIS
+            from ..parallel.tp import (make_tp_forward, pack_params_tp,
+                                       supports_tp)
+            tp = mesh.shape[MODEL_AXIS]
+            if supports_tp(config, tp):
+                params = pack_params_tp(params, tp)
+                self._fwd = make_tp_forward(mesh)
+                self._tp = True
+        elif pack_q4:
             from .engine import _pack_matmul_weights
             params = _pack_matmul_weights(params)
         # Batched whole-model megakernel (ops/pallas_decode.py): the B<=8
@@ -101,14 +119,21 @@ class BatchedEngine:
         # positions. Needs a bf16 cache and fused+packed quantized weights.
         from ..ops.pallas_decode import supports_layers
         self._fused_decode = (
-            pack_q4 and compute_dtype != jnp.float32
+            mesh is None and pack_q4 and compute_dtype != jnp.float32
             and cache_dtype in (None, jnp.bfloat16)
             and supports_layers(params.get("layers", {}), jnp.bfloat16,
                                 batch=self.B, n_new=1))
         if cache_dtype is None:
             cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
         self.cache_dtype = cache_dtype
-        self.params = jax.device_put(params)
+        if self._tp:
+            from ..parallel.tp import shard_params_tp
+            self.params = shard_params_tp(params, mesh)
+        elif mesh is not None:
+            from ..parallel.sharding import shard_params
+            self.params = shard_params(params, mesh)
+        else:
+            self.params = jax.device_put(params)
         # decode shapes (m = B <= 8) ride the packed Pallas kernels; matmul
         # dispatch falls back to XLA for prefill shapes automatically
         self._interpret = jax.default_backend() != "tpu"
@@ -118,7 +143,7 @@ class BatchedEngine:
                   "allow_pallas")
 
         self._prefill_jit = jax.jit(
-            forward, static_argnames=static, donate_argnames=("cache",))
+            self._fwd, static_argnames=static, donate_argnames=("cache",))
 
         def insert_slots(big: KVCache, small: KVCache, src_row, mask):
             """Merge prefilled rows of a batched temp cache into their slots.
@@ -153,7 +178,7 @@ class BatchedEngine:
                     compute_dtype=self.compute_dtype, kv_window=kv_window,
                     interpret=self._interpret)
             else:
-                logits, cache = forward(
+                logits, cache = self._fwd(
                     params, toks, cache, lengths, self.config,
                     compute_dtype=self.compute_dtype,
                     allow_pallas=self.allow_pallas, logits_mode="last",
@@ -214,8 +239,12 @@ class BatchedEngine:
         return (not self._interpret) or _PALLAS_MODE is True
 
     def new_cache(self) -> KVCache:
-        return init_cache(self.config, batch=self.B, max_len=self.max_seq,
-                          dtype=self.cache_dtype)
+        cache = init_cache(self.config, batch=self.B, max_len=self.max_seq,
+                           dtype=self.cache_dtype)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_cache
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     # ------------------------------------------------------------- prefill
 

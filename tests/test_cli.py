@@ -56,3 +56,16 @@ def test_cli_missing_model(capsys):
     rc = main(["-m", "/nonexistent/model.bin", "-p", "x"])
     assert rc == 1
     assert "failed to open" in capsys.readouterr().err
+
+
+def test_prompt_fills_context_clean_error(model_path, capsys):
+    """A prompt with no room to generate exits 1 with a clean message
+    (reference crashes ungracefully past n_positions)."""
+    from biogpt_tpu.cli import main
+
+    long_prompt = "the meaning of life " * 40
+    rc = main(["-m", model_path, "-p", long_prompt, "-n", "4",
+               "--temp", "0", "--warmup", "0"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "no room to generate" in err

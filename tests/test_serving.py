@@ -153,3 +153,21 @@ def test_capacity_truncates_at_chunk_boundary(tiny_params, single_engine):
     assert results[0].ids == expect
     # the freed slot served the queued request to completion
     assert results[1].ids == _expected(single_engine, [2, 7], 3)
+
+
+@pytest.mark.parametrize("data,model", [(1, 4), (2, 2)])
+def test_mesh_serving_matches_single(tiny_params, single_engine, data, model):
+    """Continuous batching over a ("data","model") mesh: shard_map TP when
+    the config divides, GSPMD otherwise — same tokens as single-device."""
+    from biogpt_tpu.parallel import make_mesh
+
+    prompts = [[2, 5, 9], [2, 11, 30, 41, 8], [2, 7]]
+    be = BatchedEngine(TINY, tiny_params, max_batch=4,
+                       compute_dtype=jnp.float32, chunk=4,
+                       mesh=make_mesh(data=data, model=model))
+    reqs = [Request(prompt_ids=p, n_predict=6, request_id=i)
+            for i, p in enumerate(prompts)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    for i, p in enumerate(prompts):
+        expect = _expected(single_engine, p, 6)
+        assert results[i].ids == expect, (i, results[i].ids, expect)
