@@ -24,6 +24,9 @@ Env:
   BENCH_PACK_Q4=0              disable the packed Pallas path
   BENCH_SERVING=0              skip the serving aggregate metric
   BENCH_PREFILL=0              skip the prefill metric
+  BENCH_MESH=DxM               run the engine over a (data=D, model=M) mesh
+                               (shard_map TP path) — for multi-chip rounds;
+                               requires D*M <= len(jax.devices())
 """
 
 import json
@@ -114,12 +117,14 @@ def bench_prefill(eng: Engine, qname: str) -> None:
          prompt_len=n_prompt)
 
 
-def bench_serving(params, config, qname: str, single_stream_tok_s: float) -> None:
+def bench_serving(params, config, qname: str, single_stream_tok_s: float,
+                  mesh=None) -> None:
     from biogpt_tpu.runtime.serving import BatchedEngine, Request
 
     B, n_pred = 8, 48
     be = BatchedEngine(config, params, max_batch=B,
-                       compute_dtype=jnp.bfloat16, max_seq=512, chunk=16)
+                       compute_dtype=jnp.bfloat16, max_seq=512, chunk=16,
+                       mesh=mesh)
     rng = np.random.default_rng(0)
 
     def make_reqs(n):
@@ -171,8 +176,16 @@ def main() -> int:
         params = make_random_quantized_params(
             config, GGML_TYPE_BY_NAME[qname], seed=0)
 
+    mesh = None
+    mesh_spec = os.environ.get("BENCH_MESH", "")
+    if mesh_spec:
+        from biogpt_tpu.parallel import make_mesh
+        d, m = (int(v) for v in mesh_spec.split("x"))
+        mesh = make_mesh(data=d, model=m)
+        log(f"mesh: {mesh_spec} (shard_map TP decode; megakernel off)")
+
     eng = Engine(config, params, compute_dtype=jnp.bfloat16,
-                 pack_q4=use_pallas)
+                 pack_q4=use_pallas, mesh=mesh)
     log(f"megakernel={eng._fused_decode}; warming up (compile ~20-40s/program"
         f" + one-time deep-queue warmup, can take minutes)...")
     t0 = time.perf_counter()
@@ -184,7 +197,7 @@ def main() -> int:
         bench_prefill(eng, qname)
     del eng
     if os.environ.get("BENCH_SERVING", "1") == "1":
-        bench_serving(params, config, qname, single_marginal)
+        bench_serving(params, config, qname, single_marginal, mesh=mesh)
     return 0
 
 

@@ -110,29 +110,10 @@ def _attention(
     # n_positions slots costs ~96 MB/token at 347M; the engine buckets the
     # window to the live length (a handful of compiled variants).
     S = cache.max_len if kv_window is None else min(kv_window, cache.max_len)
-    # Fused decode-attention kernel: scores+mask+softmax+context in ONE op
-    # per layer (decode is op-issue bound; ~8 XLA ops collapse away).
-    # Needs N==1, causal, a bf16 cache (Mosaic has no f16), and fast mode.
-    from ..ops import pallas_attention
-    if (pallas_attention.ENABLED
-            and allow_pallas and N == 1 and causal
-            and cache.k.dtype == jnp.bfloat16
-            and compute_dtype != jnp.float32):
-        from ..ops.pallas_attention import decode_attention
-        from ..ops.qmatmul import _PALLAS_MODE
-
-        on_tpu = jax.default_backend() == "tpu"
-        if _PALLAS_MODE is not False and (on_tpu or _PALLAS_MODE is True):
-            past_vec = jnp.broadcast_to(
-                jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
-            ctx = decode_attention(
-                q, cache.k[layer_ix][:, :S].reshape(B, S, H, Dk),
-                cache.v[layer_ix][:, :S].reshape(B, S, H, Dk),
-                past_vec, interpret=not on_tpu)
-            ctx = ctx.reshape(B, N, H * Dk)
-            out = _project(ctx, layer_params["o"], compute_dtype,
-                           allow_pallas, psum_axis=tp_axis)
-            return out, cache
+    # (A standalone per-layer fused decode-attention Pallas kernel lived
+    # here in round 1, permanently gated off because it lost to XLA; the
+    # whole-model megakernel — ops/pallas_decode.py, which fuses attention
+    # together with everything else — subsumed and replaced it.)
 
     if compute_dtype == jnp.float32:
         # parity mode: widen the fp16 cache before the dots

@@ -9,6 +9,14 @@ defects — byte-wise regex classes, the always-False lowercase check
 (mosestokenizer.cpp:264), and the discarded XML-unescape result
 (mosestokenizer.cpp:379) — while keeping identical token output on the
 pipeline's supported languages.
+
+Lineage note: the rule tables and their names (DEDUPLICATE_SPACE,
+AGGRESSIVE_HYPHEN_SPLIT, COMMA_SEPARATE_*, the detokenizer's quote-pairing
+state machine) deliberately track **sacremoses** — the public Python Moses
+port used as this module's parity oracle (tests/test_tokenizer.py) — since
+rule-for-rule identity is what the parity requirement forces. The Unicode
+character classes here are codepoint-range based (tokenizer/uniprops.py)
+rather than sacremoses' splatted literal sets.
 """
 
 from __future__ import annotations
