@@ -21,6 +21,9 @@ from . import codecs
 from .codecs import BLOCK_SIZES, QK
 
 _CSRC_DIR = Path(__file__).resolve().parent.parent.parent / "csrc"
+# Search order: the wheel-packaged copy (built by setup.py's build_py hook
+# into biogpt_tpu/_lib/), then the source-tree csrc/ (auto-built via make).
+_PKG_LIB = Path(__file__).resolve().parent.parent / "_lib" / "libbiogpt_io.so"
 _LIB_PATH = _CSRC_DIR / "libbiogpt_io.so"
 
 _lib: Optional[ctypes.CDLL] = None
@@ -40,7 +43,8 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not _LIB_PATH.exists():
+    path = _PKG_LIB if _PKG_LIB.exists() else _LIB_PATH
+    if not path.exists():
         try:
             subprocess.run(
                 ["make", "-C", str(_CSRC_DIR)],
@@ -49,7 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
         except (OSError, subprocess.SubprocessError):
             return None
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(path))
     except OSError:
         return None
     if lib.bgpt_abi_version() != 1:
