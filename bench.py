@@ -71,7 +71,7 @@ def emit(metric: str, value: float, unit: str, baseline: float, **extra) -> None
     }), flush=True)
 
 
-def bench_decode(eng: Engine, qname: str, repeats: int = 3) -> None:
+def bench_decode(eng: Engine, qname: str, repeats: int = 3) -> float:
     """Median-of-N marginal throughput.
 
     The shared chip's state drifts between runs (repeated identical Q4_0

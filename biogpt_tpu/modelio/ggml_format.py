@@ -71,6 +71,20 @@ class TensorRecord:
         bs = codecs.BLOCK_SIZES[self.ttype]
         return self.nelements // codecs.QK * bs
 
+    def data_bytes(self) -> "bytes | np.ndarray":
+        """On-disk bytes for writers, normalizing the ndarray variant:
+        forces the ttype's little-endian dtype and C-contiguity so
+        ``f.write`` (buffer protocol) emits exactly the file contract.
+        Quantized records must already carry raw block bytes."""
+        if isinstance(self.data, np.ndarray):
+            if self.ttype not in _TTYPE_DTYPES:
+                raise TypeError(
+                    f"tensor '{self.name}': quantized records must carry "
+                    "raw block bytes, not an ndarray")
+            return np.ascontiguousarray(
+                self.data, dtype=_TTYPE_DTYPES[self.ttype])
+        return self.data
+
     def to_float32(self) -> np.ndarray:
         """Decode to float32 in torch orientation (dequantizing if needed)."""
         if isinstance(self.data, np.ndarray):
@@ -204,7 +218,7 @@ def write_tensor_record(f: BinaryIO, rec: TensorRecord) -> None:
     for d in dims:
         f.write(struct.pack("<i", d))
     f.write(name_raw)
-    f.write(rec.data)
+    f.write(rec.data_bytes())
 
 
 def tensor_record_from_array(name: str, arr: np.ndarray, use_f16: bool = False) -> TensorRecord:

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import string
+from functools import lru_cache
 from pathlib import Path
 from typing import Dict, List, Tuple
 
@@ -57,6 +58,56 @@ _CACHE_DIR = os.environ.get(
 _CACHE_MIN_PARAMS = 10_000_000  # tiny test models regenerate instantly
 
 
+def _n_params(config: BioGptConfig) -> int:
+    return (2 * config.n_vocab * config.d_model
+            + config.n_layer * (4 * config.d_model ** 2
+                                + 2 * config.d_model * config.d_ff))
+
+
+def _config_key(config: BioGptConfig) -> str:
+    return (f"v{config.n_vocab}_d{config.d_model}_l{config.n_layer}"
+            f"_f{config.d_ff}_p{config.n_positions}_h{config.n_head}")
+
+
+@lru_cache(maxsize=8)
+def _src_salt(*sources: str) -> str:
+    """8-hex digest of the named source files/functions, mixed into cache
+    keys so a change to the generating/converting CODE invalidates cached
+    results — otherwise a stale cache would silently defeat the full-size
+    goldens regression test (cached pre-bug params would keep passing)."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha1()
+    for s in sources:
+        if s == "make_state_dict":
+            h.update(inspect.getsource(make_state_dict).encode())
+        elif s == "make_random_quantized_params":
+            h.update(inspect.getsource(make_random_quantized_params).encode())
+        else:   # a module whose file contents define the conversion
+            import importlib
+            mod = importlib.import_module(s)
+            with open(mod.__file__, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:8]
+
+
+def _atomic_save_dir(path: str, writer) -> None:
+    """Best-effort atomic cache-dir publish: write into a private .tmp dir,
+    rename over ``path``; on any failure (read-only disk, racing writer
+    that published first) the temp dir is REMOVED, not leaked — these dirs
+    are multi-GB."""
+    import shutil
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        os.makedirs(tmp, exist_ok=True)
+        writer(tmp)
+        os.replace(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _sd_cache_path(config: BioGptConfig, seed: int, scale: float) -> str:
     """Cache DIRECTORY of raw .npy files (one per tensor + keys.json).
 
@@ -64,19 +115,15 @@ def _sd_cache_path(config: BioGptConfig, seed: int, scale: float) -> str:
     this host, while mmap'd .npy files open instantly and fault pages in
     at disk speed.
     """
-    key = (f"sd_v{config.n_vocab}_d{config.d_model}_l{config.n_layer}"
-           f"_f{config.d_ff}_p{config.n_positions}_h{config.n_head}"
-           f"_s{seed}_c{scale!r}".replace(".", "p"))
+    key = (f"sd_{_config_key(config)}_s{seed}_c{scale!r}".replace(".", "p")
+           + f"_{_src_salt('make_state_dict')}")
     return os.path.join(_CACHE_DIR, key)
 
 
 def make_state_dict(config: BioGptConfig, seed: int = 0, scale: float = 0.02,
                     cache: bool = True) -> Dict[str, np.ndarray]:
     """Random torch-layout state dict with the HF BioGPT names/shapes."""
-    n_params = (2 * config.n_vocab * config.d_model
-                + config.n_layer * (4 * config.d_model ** 2
-                                    + 2 * config.d_model * config.d_ff))
-    cache = cache and n_params >= _CACHE_MIN_PARAMS
+    cache = cache and _n_params(config) >= _CACHE_MIN_PARAMS
     path = _sd_cache_path(config, seed, scale)
     manifest = os.path.join(path, "keys.json")
     if cache and os.path.exists(manifest):
@@ -110,17 +157,13 @@ def make_state_dict(config: BioGptConfig, seed: int = 0, scale: float = 0.02,
         sd[p + "fc2.weight"] = w(config.d_model, config.d_ff)
         sd[p + "fc2.bias"] = w(config.d_model)
     if cache:
-        try:
-            tmp = f"{path}.{os.getpid()}.tmp"
-            os.makedirs(tmp, exist_ok=True)
+        def write(tmp):
             keys = list(sd)
             for i, k in enumerate(keys):
                 np.save(os.path.join(tmp, f"{i}.npy"), sd[k])
             with open(os.path.join(tmp, "keys.json"), "w") as f:
                 json.dump(keys, f)
-            os.replace(tmp, path)
-        except OSError:   # read-only/full disk/racing writer: best-effort
-            pass
+        _atomic_save_dir(path, write)
     return sd
 
 
@@ -138,14 +181,16 @@ def make_cached_params(config: BioGptConfig, seed: int = 0,
     """
     from .checkpoint import params_from_state_dict
 
-    n_params = (2 * config.n_vocab * config.d_model
-                + config.n_layer * (4 * config.d_model ** 2
-                                    + 2 * config.d_model * config.d_ff))
-    if n_params < _CACHE_MIN_PARAMS:
+    if _n_params(config) < _CACHE_MIN_PARAMS:
         return params_from_state_dict(
             make_state_dict(config, seed=seed, scale=scale), config, qtype)
 
-    path = _sd_cache_path(config, seed, scale) + f"_params_q{qtype}"
+    # the conversion salt invalidates on any change to the torch->kernel
+    # mapping, the plane layouts, or the codecs
+    salt = _src_salt("biogpt_tpu.modelio.checkpoint",
+                     "biogpt_tpu.quant.layouts", "biogpt_tpu.quant.codecs")
+    path = (_sd_cache_path(config, seed, scale)
+            + f"_params_q{qtype}_{salt}")
     # structure template: same keys/leaf-count at any size (layers stack)
     tiny = BioGptConfig.tiny()
     template = params_from_state_dict(
@@ -178,16 +223,13 @@ def _cached_pytree(path: str, template, build):
     params = build()
     leaves, treedef2 = jax.tree.flatten(params)
     assert treedef2 == treedef, "template structure mismatch"
-    try:
-        tmp = f"{path}.{os.getpid()}.tmp"
-        os.makedirs(tmp, exist_ok=True)
+
+    def write(tmp):
         for i, leaf in enumerate(leaves):
             np.save(os.path.join(tmp, f"{i}.npy"), np.asarray(leaf))
         with open(os.path.join(tmp, "keys.json"), "w") as f:
             json.dump({"n_leaves": len(leaves)}, f)
-        os.replace(tmp, path)
-    except OSError:   # best-effort cache
-        pass
+    _atomic_save_dir(path, write)
     return params
 
 
@@ -205,15 +247,11 @@ def make_random_quantized_params(
     from ..quant.codecs import QK
     from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
 
-    n_params = (2 * config.n_vocab * config.d_model
-                + config.n_layer * (4 * config.d_model ** 2
-                                    + 2 * config.d_model * config.d_ff))
-    if cache and n_params >= _CACHE_MIN_PARAMS:
+    if cache and _n_params(config) >= _CACHE_MIN_PARAMS:
+        salt = _src_salt("make_random_quantized_params",
+                         "biogpt_tpu.quant.layouts")
         path = os.path.join(
-            _CACHE_DIR,
-            f"rq_v{config.n_vocab}_d{config.d_model}_l{config.n_layer}"
-            f"_f{config.d_ff}_p{config.n_positions}_h{config.n_head}"
-            f"_s{seed}_q{qtype}")
+            _CACHE_DIR, f"rq_{_config_key(config)}_s{seed}_q{qtype}_{salt}")
         template = make_random_quantized_params(
             BioGptConfig.tiny(), qtype, seed=0, cache=False)
         return _cached_pytree(

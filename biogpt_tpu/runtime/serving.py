@@ -135,9 +135,13 @@ class BatchedEngine:
         else:
             self.params = jax.device_put(params)
         # decode shapes (m = B <= 8) ride the packed Pallas kernels; matmul
-        # dispatch falls back to XLA for prefill shapes automatically
+        # dispatch falls back to XLA for prefill shapes automatically. On a
+        # mesh WITHOUT the shard_map TP path, weights are GSPMD-sharded and
+        # GSPMD cannot partition a custom Pallas kernel — same gate as
+        # Engine (engine.py): pallas only single-device or under shard_map.
         self._interpret = jax.default_backend() != "tpu"
-        self.allow_pallas = pack_q4 and not self._interpret
+        self.allow_pallas = (pack_q4 and not self._interpret
+                             and (mesh is None or self._tp))
 
         static = ("config", "compute_dtype", "causal", "logits_mode",
                   "allow_pallas")

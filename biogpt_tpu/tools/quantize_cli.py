@@ -66,7 +66,7 @@ def quantize_file(path_in: str, path_out: str, type_name: str, verbose: bool = T
                 if verbose:
                     print(f"  {rec.name:55s} {str(rec.shape):>16s} "
                           f"{codecs.GGML_TYPE_NAMES.get(rec.ttype, '?')} (copied)")
-            total_out += len(out_rec.data)
+            total_out += out_rec.nbytes_expected()
             ggml_format.write_tensor_record(fout, out_rec)
 
     stats = {
