@@ -318,11 +318,25 @@ class BatchedEngine:
         self,
         requests: List[Request],
         gen: GenerationParams | None = None,
+        more=None,
+        on_complete=None,
     ) -> Dict[int, RequestResult]:
         """Run all requests to completion with continuous slot refill.
 
         ``gen`` provides the default sampling parameters and the EOS rule;
         each request may override temp/top_k/top_p; lengths are per-request.
+
+        ``more``: optional zero-arg callable polled once per scheduling
+        iteration for newly-arrived requests (continuous intake — the
+        ServingScheduler feeds its live queue through this, so requests
+        submitted while a batch decodes join it at the next free slot
+        instead of waiting for the whole batch to finish). serve() returns
+        once ``more`` yields nothing AND all accepted work has drained.
+
+        ``on_complete``: optional ``f(request_id, RequestResult)`` invoked
+        as soon as a request's final token has DRAINED to the host (not
+        merely been scheduled) — completion latency instead of batch
+        latency for callers awaiting individual requests.
 
         Two mechanisms keep the host off the critical path (a device->host
         fetch costs a ~26-55 ms RPC on this runtime, ~2-4x a 16-step
@@ -343,14 +357,30 @@ class BatchedEngine:
         gen = gen or GenerationParams(temp=0.0)
         seed = gen.seed if gen.seed >= 0 else int(time.time())
         rng = jax.random.PRNGKey(seed)
-        # static sampling shortcut: if EVERY request in this serve() call is
-        # greedy, the scan skips the per-step full-vocab top-k entirely
-        all_greedy = all((gen.temp if r.temp is None else r.temp) <= 0
-                         for r in requests)
+
+        def is_greedy(r: Request) -> bool:
+            return (gen.temp if r.temp is None else r.temp) <= 0
+
+        # static sampling shortcut: when every request in this serve() call
+        # is greedy, the scan skips the per-step full-vocab top-k entirely.
+        # With live intake (`more`) the full set is unknown, so the flag is
+        # recomputed per chunk launch from the slots actually bound.
+        all_greedy = more is None and all(is_greedy(r) for r in requests)
 
         queue = list(requests)
         results: Dict[int, RequestResult] = {}
+        reqs_by_id: Dict[int, Request] = {}
+        notified: set = set()
         cache = self.new_cache()
+
+        def notify() -> None:
+            """Fire on_complete for requests whose final token has drained."""
+            if on_complete is None:
+                return
+            for rid, req in reqs_by_id.items():
+                if rid not in notified and req_done(req):
+                    notified.add(rid)
+                    on_complete(rid, results[rid])
 
         # host-side slot table
         slot_req: List[Optional[Request]] = [None] * self.B
@@ -419,6 +449,7 @@ class BatchedEngine:
                 results[req.request_id] = RequestResult(
                     request_id=req.request_id, ids=list(req.prompt_ids),
                     prompt_len=len(req.prompt_ids))
+                reqs_by_id[req.request_id] = req
                 pairs.append((slot, req))
             if not pairs:
                 return
@@ -463,6 +494,8 @@ class BatchedEngine:
                         results[req.request_id].ids.append(int(step_row[b]))
 
         while True:
+            if more is not None:
+                queue.extend(more())
             # refill free slots (one batched prefill per bucket); freeing is
             # scheduling-based, so n_predict-terminated requests refill with
             # ZERO drain latency (only EOS early-exit lags)
@@ -474,6 +507,7 @@ class BatchedEngine:
             if all(slot_free(b) for b in range(self.B)):
                 if pending:
                     drain(pending.pop(0))
+                    notify()
                     continue   # the drain may reveal EOS for bookkeeping
                 if fresh_slots:
                     # prompt filled the cache to within one chunk: no decode
@@ -485,6 +519,7 @@ class BatchedEngine:
                             results[slot_req[b].request_id].ids.append(
                                 int(vals[b]))
                     fresh_slots.clear()
+                    notify()
                     continue
                 break
 
@@ -495,11 +530,14 @@ class BatchedEngine:
             # dynamic_update_slice to the slot's own last cache row.)
             window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
                          self.max_seq)
+            greedy_now = all_greedy if more is None else all(
+                is_greedy(slot_req[b]) for b in range(self.B)
+                if slot_req[b] is not None and not slot_free(b))
             out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
             toks, cache, lengths, rng, out_buf = self._step_scan(
                 self.params, toks, cache, lengths, rng, temps, top_ps,
                 top_ks, out_buf, n_steps=self.chunk, kv_window=window,
-                use_fused=self._use_fused(), all_greedy=all_greedy)
+                use_fused=self._use_fused(), all_greedy=greedy_now)
             # ONE array fetches first tokens + the whole chunk block; slots
             # already free at launch snapshot as unbound so their garbage
             # lanes can't reach a truncated request
@@ -524,6 +562,110 @@ class BatchedEngine:
             pending.append((fetch, bound, fbound))
             if len(pending) > self.pipeline:
                 drain(pending.pop(0))   # overlaps the chunks still in flight
+                notify()
             for b in range(self.B):
                 lengths_host[b] += self.chunk
+        notify()
         return results
+
+
+class ServingScheduler:
+    """Long-lived continuous-batching front over one :class:`BatchedEngine`.
+
+    ``submit()`` from any thread returns a ``concurrent.futures.Future``; a
+    dedicated worker thread keeps a ``serve()`` loop fed through its live-
+    intake hook, so requests submitted while a batch is decoding join it at
+    the next free slot (true continuous batching, not wave batching), and
+    each future resolves as soon as its request's final token drains.
+
+    The reference processes one prompt per process invocation
+    (/root/reference/main.cpp); this is north-star serving scope.
+    """
+
+    def __init__(self, engine: BatchedEngine,
+                 gen: GenerationParams | None = None,
+                 poll_s: float = 0.05):
+        import queue as _queue
+        import threading
+
+        self.engine = engine
+        self.gen = gen or GenerationParams(temp=0.0)
+        self._queue: "_queue.Queue" = _queue.Queue()
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self._poll_s = poll_s
+        self._stop = False
+        self._wake = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="biogpt-serving", daemon=True)
+        self._thread.start()
+
+    def submit(self, prompt_ids: List[int], n_predict: int = 64,
+               temp: Optional[float] = None, top_k: Optional[int] = None,
+               top_p: Optional[float] = None):
+        """Enqueue one generation; returns a Future[RequestResult]."""
+        from concurrent.futures import Future
+
+        if self._stop:
+            raise RuntimeError("scheduler is closed")
+        with self._id_lock:
+            rid = self._next_id
+            self._next_id += 1
+        fut: Future = Future()
+        req = Request(prompt_ids=list(prompt_ids), n_predict=n_predict,
+                      request_id=rid, temp=temp, top_k=top_k, top_p=top_p)
+        self._queue.put((req, fut))
+        self._wake.set()
+        return fut
+
+    def close(self, timeout: Optional[float] = 30.0) -> None:
+        """Stop accepting work; wait for in-flight requests to finish."""
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=timeout)
+
+    # ------------------------------------------------------------- worker
+
+    def _take_pending(self):
+        import queue as _queue
+
+        out = []
+        while True:
+            try:
+                out.append(self._queue.get_nowait())
+            except _queue.Empty:
+                return out
+
+    def _run(self) -> None:
+        while True:
+            self._wake.wait(timeout=self._poll_s)
+            self._wake.clear()
+            batch = self._take_pending()
+            if not batch:
+                if self._stop:
+                    return
+                continue
+            futures = {req.request_id: fut for req, fut in batch}
+
+            def more():
+                extra = self._take_pending()
+                for req, fut in extra:
+                    futures[req.request_id] = fut
+                return [req for req, _ in extra]
+
+            def on_complete(rid, result):
+                fut = futures.pop(rid, None)
+                if fut is not None:
+                    fut.set_result(result)
+
+            try:
+                results = self.engine.serve(
+                    [req for req, _ in batch], self.gen,
+                    more=more, on_complete=on_complete)
+                for rid, fut in list(futures.items()):
+                    if rid in results:   # safety net: missed notification
+                        fut.set_result(results[rid])
+                        futures.pop(rid)
+            except Exception as e:   # propagate to waiters, keep serving
+                for fut in futures.values():
+                    fut.set_exception(e)

@@ -1,0 +1,159 @@
+"""HTTP serving front-end — standard library only, no extra dependencies.
+
+POST /generate with a JSON body:
+
+    {"prompt": "COVID-19 is", "n_predict": 64,
+     "temp": 0.7, "top_k": 40, "top_p": 0.9}       # sampling keys optional
+    {"prompt_ids": [2, 431, ...], "n_predict": 8}  # pre-tokenized variant
+
+responds ``{"ids": [...], "new_ids": [...], "text": ...}`` (``text`` only
+when the server has a tokenizer). GET /healthz returns 200 once the engine
+is warm. Requests from concurrent clients batch together on the chip
+through :class:`~biogpt_tpu.runtime.serving.ServingScheduler` — submissions
+that arrive while a batch is decoding join it at the next free slot.
+
+The reference has no serving surface at all (one prompt per process run,
+``/root/reference/main.cpp``); this is north-star scope.
+
+Usage: python -m biogpt_tpu.server -m models/ggml-q4_0.bin --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .config import GenerationParams
+from .runtime.serving import BatchedEngine, ServingScheduler
+
+
+class BioGptServer:
+    """Bind a ServingScheduler (+ optional tokenizer) to an HTTP port."""
+
+    def __init__(self, scheduler: ServingScheduler, tokenizer=None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 request_timeout_s: float = 600.0):
+        self.scheduler = scheduler
+        self.tokenizer = tokenizer
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):   # route through our logger
+                from .utils.logging import get_logger
+                get_logger("server").debug(fmt, *args)
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if "prompt_ids" in body:
+                        ids = [int(t) for t in body["prompt_ids"]]
+                    elif "prompt" in body:
+                        if outer.tokenizer is None:
+                            self._json(400, {"error": "server has no "
+                                             "tokenizer; send prompt_ids"})
+                            return
+                        ids = outer.tokenizer.encode(str(body["prompt"]))
+                    else:
+                        self._json(400, {"error": "need prompt or prompt_ids"})
+                        return
+                    fut = outer.scheduler.submit(
+                        ids,
+                        n_predict=int(body.get("n_predict", 64)),
+                        temp=(None if "temp" not in body
+                              else float(body["temp"])),
+                        top_k=(None if "top_k" not in body
+                               else int(body["top_k"])),
+                        top_p=(None if "top_p" not in body
+                               else float(body["top_p"])))
+                    result = fut.result(timeout=request_timeout_s)
+                except json.JSONDecodeError:
+                    self._json(400, {"error": "invalid JSON"})
+                    return
+                except Exception as e:   # timeout / engine failure
+                    self._json(500, {"error": str(e)})
+                    return
+                payload = {"ids": result.ids, "new_ids": result.new_ids}
+                if outer.tokenizer is not None:
+                    payload["text"] = outer.tokenizer.decode(result.ids)
+                self._json(200, payload)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        """Serve in a background thread (returns immediately)."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="biogpt-http", daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self.scheduler.close()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-m", "--model", required=True, help="ggml-model .bin")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("-b", "--batch", type=int, default=8,
+                   help="lockstep batch slots")
+    p.add_argument("--max-seq", type=int, default=None)
+    p.add_argument("--temp", type=float, default=0.0,
+                   help="default temperature (requests may override)")
+    args = p.parse_args(argv)
+
+    from .modelio.checkpoint import load_params
+    from .tokenizer import BioGptTokenizer
+
+    try:
+        config, vocab, merges, params = load_params(args.model)
+    except FileNotFoundError:
+        print(f"error: model file not found: {args.model}", file=sys.stderr)
+        return 1
+    tokenizer = BioGptTokenizer(vocab, merges)
+    engine = BatchedEngine(config, params, max_batch=args.batch,
+                           max_seq=args.max_seq)
+    scheduler = ServingScheduler(
+        engine, GenerationParams(temp=args.temp))
+    server = BioGptServer(scheduler, tokenizer,
+                          host=args.host, port=args.port)
+    print(f"serving on http://{server.host}:{server.port} "
+          f"(B={args.batch} slots)", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""ServingScheduler (live continuous batching) + HTTP front-end tests."""
+
+import http.client
+import json
+import threading
+
+import jax.numpy as jnp
+import pytest
+
+from biogpt_tpu.config import BioGptConfig, GenerationParams
+from biogpt_tpu.modelio.checkpoint import params_from_state_dict
+from biogpt_tpu.modelio.synthetic import make_state_dict
+from biogpt_tpu.runtime.engine import Engine
+from biogpt_tpu.runtime.serving import BatchedEngine, ServingScheduler
+
+TINY = BioGptConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return params_from_state_dict(make_state_dict(TINY, seed=21), TINY)
+
+
+@pytest.fixture(scope="module")
+def single_engine(tiny_params):
+    return Engine(TINY, tiny_params, compute_dtype=jnp.float32)
+
+
+def _expected(single_engine, prompt, n_predict):
+    gen = GenerationParams(n_predict=n_predict, temp=0.0, stop_at_eos=False)
+    return single_engine.generate(prompt, gen).ids
+
+
+@pytest.fixture()
+def scheduler(tiny_params):
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    sched = ServingScheduler(
+        be, GenerationParams(temp=0.0, stop_at_eos=False), poll_s=0.01)
+    yield sched
+    sched.close()
+
+
+def test_scheduler_matches_single(scheduler, single_engine):
+    prompts = [[2, 5, 9], [2, 11, 30, 41, 8], [2, 7]]
+    futs = [scheduler.submit(p, n_predict=5) for p in prompts]
+    for p, f in zip(prompts, futs):
+        assert f.result(timeout=120).ids == _expected(single_engine, p, 5)
+
+
+def test_scheduler_sequential_waves(scheduler, single_engine):
+    """A second submission after the first completes starts a new serve
+    wave on the same worker thread."""
+    a = scheduler.submit([2, 5, 9], n_predict=4).result(timeout=120)
+    b = scheduler.submit([2, 7], n_predict=4).result(timeout=120)
+    assert a.ids == _expected(single_engine, [2, 5, 9], 4)
+    assert b.ids == _expected(single_engine, [2, 7], 4)
+
+
+def test_scheduler_live_intake(scheduler, single_engine):
+    """Requests submitted WHILE a batch is decoding produce correct results
+    (they join via serve()'s `more` hook — B=2 slots, 5 requests, staggered
+    submission from another thread)."""
+    prompts = [[2, i + 3, i + 11] for i in range(5)]
+    futs = [scheduler.submit(prompts[0], n_predict=6)]
+    done = threading.Event()
+
+    def late_submitter():
+        for p in prompts[1:]:
+            futs.append(scheduler.submit(p, n_predict=6))
+        done.set()
+
+    threading.Thread(target=late_submitter).start()
+    done.wait(timeout=60)
+    for p, f in zip(prompts, futs):
+        assert f.result(timeout=120).ids == _expected(single_engine, p, 6)
+
+
+def test_scheduler_mixed_sampling(scheduler):
+    """Greedy and sampled requests coexist in one batch (per-request
+    params); sampled output is a valid continuation of the right length."""
+    g = scheduler.submit([2, 5, 9], n_predict=4)
+    s = scheduler.submit([2, 7, 8], n_predict=4, temp=0.9, top_k=8)
+    rg, rs = g.result(timeout=120), s.result(timeout=120)
+    assert len(rg.new_ids) == 4 and len(rs.new_ids) == 4
+    assert all(0 <= t < TINY.n_vocab for t in rs.new_ids)
+
+
+def test_scheduler_close_rejects_new_work(tiny_params):
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    sched = ServingScheduler(be, GenerationParams(temp=0.0))
+    sched.close()
+    with pytest.raises(RuntimeError):
+        sched.submit([2, 5], n_predict=2)
+
+
+def test_http_generate_roundtrip(scheduler, single_engine):
+    from biogpt_tpu.server import BioGptServer
+
+    server = BioGptServer(scheduler, tokenizer=None, port=0)
+    server.start()
+    try:
+        conn = http.client.HTTPConnection(server.host, server.port,
+                                          timeout=120)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+
+        body = json.dumps({"prompt_ids": [2, 5, 9], "n_predict": 4})
+        conn.request("POST", "/generate", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        payload = json.loads(resp.read())
+        assert payload["ids"] == _expected(single_engine, [2, 5, 9], 4)
+        assert payload["new_ids"] == payload["ids"][3:]
+
+        # error paths: bad JSON, missing prompt
+        conn.request("POST", "/generate", body="{not json",
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400
+        conn.request("POST", "/generate", body="{}",
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400
+    finally:
+        server._httpd.shutdown()   # keep the module-scoped scheduler alive
