@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--warmup", type=int, default=0, metavar="N",
                    help="run N warmup tokens first (absorbs compile and "
                         "transport warmup so the timed run is steady-state)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (per-row scales): half the KV HBM "
+                        "traffic, slight quantization noise")
     return p
 
 
@@ -84,6 +87,7 @@ def main(argv=None) -> int:
     engine = Engine(
         config, params,
         compute_dtype=jnp.float32 if args.dtype == "f32" else jnp.bfloat16,
+        kv_quant=args.kv_quant,
     )
 
     gen = GenerationParams(

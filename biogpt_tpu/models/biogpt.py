@@ -33,7 +33,8 @@ from ..config import BioGptConfig
 from ..modelio.checkpoint import layer_slice
 from ..ops import matmul, embedding_lookup
 from ..ops.qmatmul import precision_for
-from ..runtime.cache import KVCache, update_layer
+from ..runtime.cache import (KVCache, QuantKVCache, dequant_layer,
+                             update_layer)
 
 
 def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
@@ -115,7 +116,15 @@ def _attention(
     # whole-model megakernel — ops/pallas_decode.py, which fuses attention
     # together with everything else — subsumed and replaced it.)
 
-    if compute_dtype == jnp.float32:
+    if isinstance(cache, QuantKVCache):
+        # int8 KV: dequantize per-row (levels * absmax scale) into the dot's
+        # operand stream; compute dtype follows the mode
+        dq = jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
+        k_flat, v_flat = dequant_layer(cache, layer_ix, S, dq)
+        k_all = k_flat.reshape(B, S, H, Dk)
+        v_all = v_flat.reshape(B, S, H, Dk)
+        q_dot = q if compute_dtype == jnp.float32 else q.astype(dq)
+    elif compute_dtype == jnp.float32:
         # parity mode: widen the fp16 cache before the dots
         k_all = cache.k[layer_ix][:, :S].reshape(B, S, H, Dk).astype(jnp.float32)
         v_all = cache.v[layer_ix][:, :S].reshape(B, S, H, Dk).astype(jnp.float32)
@@ -289,24 +298,45 @@ def forward_fused_decode(
     x0 = (emb + pos_emb).reshape(B, config.d_model)
 
     L, _, S, D = cache.k.shape
+    kv_quant = isinstance(cache, QuantKVCache)
     x_out, k_rows, v_rows = decode_step_fused(
         x0, params["layers"], cache.k, cache.v,
         past_vec, n_head=config.n_head, window=kv_window,
-        ln_eps=config.ln_eps, interpret=interpret, kv_block=kv_block)
+        ln_eps=config.ln_eps, interpret=interpret, kv_block=kv_block,
+        k_scales=cache.ks if kv_quant else None,
+        v_scales=cache.vs if kv_quant else None)
 
     # ONE cache write per (tensor, slot): every layer's new row for slot b
     # lands at that slot's own position
     zero = jnp.zeros((), jnp.int32)
-    k_new, v_new = cache.k, cache.v
-    for b in range(B):
-        idx = (zero, jnp.int32(b), past_vec[b], zero)
-        k_new = jax.lax.dynamic_update_slice(
-            k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(k_new.dtype),
-            idx)
-        v_new = jax.lax.dynamic_update_slice(
-            v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(v_new.dtype),
-            idx)
-    cache = KVCache(k=k_new, v=v_new)
+    if kv_quant:
+        from ..runtime.cache import quantize_rows
+        kq, ksc = quantize_rows(k_rows)      # (L, B, D) -> int8 + (L, B)
+        vq, vsc = quantize_rows(v_rows)
+        k_new, v_new, ks_new, vs_new = cache
+        for b in range(B):
+            idx = (zero, jnp.int32(b), past_vec[b], zero)
+            sidx = (zero, jnp.int32(b), zero, past_vec[b])
+            k_new = jax.lax.dynamic_update_slice(
+                k_new, kq[:, b].reshape(L, 1, 1, D), idx)
+            v_new = jax.lax.dynamic_update_slice(
+                v_new, vq[:, b].reshape(L, 1, 1, D), idx)
+            ks_new = jax.lax.dynamic_update_slice(
+                ks_new, ksc[:, b].reshape(L, 1, 1, 1), sidx)
+            vs_new = jax.lax.dynamic_update_slice(
+                vs_new, vsc[:, b].reshape(L, 1, 1, 1), sidx)
+        cache = QuantKVCache(k=k_new, v=v_new, ks=ks_new, vs=vs_new)
+    else:
+        k_new, v_new = cache.k, cache.v
+        for b in range(B):
+            idx = (zero, jnp.int32(b), past_vec[b], zero)
+            k_new = jax.lax.dynamic_update_slice(
+                k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(k_new.dtype),
+                idx)
+            v_new = jax.lax.dynamic_update_slice(
+                v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(v_new.dtype),
+                idx)
+        cache = KVCache(k=k_new, v=v_new)
 
     x = _layer_norm(x_out, params["final_ln"]["w"], params["final_ln"]["b"],
                     config.ln_eps)

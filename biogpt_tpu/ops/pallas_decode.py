@@ -103,6 +103,17 @@ def _gelu_erf(x: jax.Array) -> jax.Array:
     return 0.5 * x * (1.0 + erf)
 
 
+def _fake_quant_rows(x: jax.Array) -> jax.Array:
+    """Per-row absmax int8 quantize->dequantize (matches
+    runtime.cache.quantize_rows). In int8-KV mode the CURRENT token's k/v
+    pass through this so attention sees exactly the representation the
+    cache stores — and exactly what the per-op path (which reads the row
+    back from the cache) computes."""
+    s = jnp.max(jnp.abs(x), axis=1, keepdims=True) * (1.0 / 127.0)
+    safe = jnp.maximum(s, 1e-12)
+    return jnp.clip(jnp.round(x / safe), -127, 127) * safe
+
+
 def _ln(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -236,7 +247,7 @@ def _head_mask(H: int, D: int) -> jax.Array:
 
 
 def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
-                 has_mins):
+                 has_mins, kv_quant=False):
     scale = 1.0 / math.sqrt(D // H)
 
     def kernel(*refs):
@@ -273,10 +284,12 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
             q = qkv[:, :D] * scale
             k = qkv[:, D:2 * D]
             v = qkv[:, 2 * D:]
-            kcur[:] = k
-            vcur[:] = v
+            # raw rows leave for the cache write (the caller quantizes them
+            # with the same rounding); attention sees the quantized values
             krow_ref[0] = k.astype(krow_ref.dtype)
             vrow_ref[0] = v.astype(vrow_ref.dtype)
+            kcur[:] = _fake_quant_rows(k) if kv_quant else k
+            vcur[:] = _fake_quant_rows(v) if kv_quant else v
             # block-diagonal Q: row h carries q_h in its head's columns
             qbd[:] = _head_mask(H, D) * q.astype(jnp.bfloat16)
             msc[:] = jnp.full_like(msc, -1e30)
@@ -284,10 +297,17 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
             accsc[:] = jnp.zeros_like(accsc)
 
         # ---- one KV block: scores + online-softmax accumulation
-        kblk = r["kcache"][0, 0]                           # (KVB, D) bf16
+        kblk = r["kcache"][0, 0]                           # (KVB, D) bf16/int8
         vblk = r["vcache"][0, 0]
+        if kv_quant:
+            # int8 rows: fold the per-row dequant scale into the SCORE
+            # columns (H*KVB multiplies) instead of the K block (KVB*D)
+            kblk = kblk.astype(jnp.bfloat16)
+            vblk = vblk.astype(jnp.bfloat16)
         scores = jax.lax.dot_general(
             qbd[:], kblk, _NT, preferred_element_type=jnp.float32)  # (H, KVB)
+        if kv_quant:
+            scores = scores * r["kcache_s"][0, 0]          # (1, KVB) bcast
         idx = jax.lax.broadcasted_iota(jnp.int32, (H, KVB), 1) + j * KVB
         valid = idx < past                                 # slot `past` is
         masked = jnp.where(valid, scores, -1e30)           # the current token
@@ -296,8 +316,11 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
         p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         lsc[:] = lsc[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # V's per-row dequant scale folds into the attention WEIGHTS of the
+        # accumulator dot only — the softmax denominator above uses raw p
+        p_v = p * r["vcache_s"][0, 0] if kv_quant else p
         accsc[:] = accsc[:] * alpha + jnp.dot(
-            p.astype(jnp.bfloat16), vblk, preferred_element_type=jnp.float32)
+            p_v.astype(jnp.bfloat16), vblk, preferred_element_type=jnp.float32)
         msc[:] = m_new
 
         # ---- layer exit: current token, o-proj, FFN, residuals
@@ -336,7 +359,7 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
 
 
 def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
-                         five_bit, has_mins):
+                         five_bit, has_mins, kv_quant=False):
     """Batched (B <= 8) variant of :func:`_make_kernel`.
 
     Differences from the single-stream kernel: ``past`` is a per-slot SMEM
@@ -388,10 +411,10 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
             q = qkv[:, :D] * scale
             k = qkv[:, D:2 * D]
             v = qkv[:, 2 * D:]
-            kcur[:] = k
-            vcur[:] = v
             krow_ref[0] = k.astype(krow_ref.dtype)
             vrow_ref[0] = v.astype(vrow_ref.dtype)
+            kcur[:] = _fake_quant_rows(k) if kv_quant else k
+            vcur[:] = _fake_quant_rows(v) if kv_quant else v
             q_rep = jnp.dot(rep, q, preferred_element_type=jnp.float32)
             qbd[:] = hm_t * q_rep.astype(jnp.bfloat16)
             msc[:] = jnp.full_like(msc, -1e30)
@@ -399,11 +422,19 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
             accsc[:] = jnp.zeros_like(accsc)
 
         # ---- one KV block: per-slot scores + shared softmax accumulation
+        def kblk_of(b):
+            blk = r["kcache"][0, b]                          # (KVB, D)
+            return blk.astype(jnp.bfloat16) if kv_quant else blk
+
         scores = jnp.concatenate(
-            [jax.lax.dot_general(qbd[b * H:(b + 1) * H, :],
-                                 r["kcache"][0, b],          # (KVB, D)
+            [jax.lax.dot_general(qbd[b * H:(b + 1) * H, :], kblk_of(b),
                                  _NT, preferred_element_type=jnp.float32)
              for b in range(B)], axis=0)                     # (BH, KVB)
+        if kv_quant:
+            # per-slot (1, KVB) K scales, repeated to that slot's H rows
+            scores = scores * jnp.concatenate(
+                [jnp.broadcast_to(r["kcache_s"][0, b], (H, KVB))
+                 for b in range(B)], axis=0)
         idx = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 1) + j * KVB
         past_col = jnp.concatenate(
             [jnp.full((H, 1), r["past"][0, b], jnp.int32) for b in range(B)],
@@ -415,10 +446,20 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
         p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         lsc[:] = lsc[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        def pv_of(b):
+            # V's per-row scale folds into the attention weights (the
+            # denominator above uses raw p)
+            pb = p[b * H:(b + 1) * H, :]
+            if kv_quant:
+                pb = pb * r["vcache_s"][0, b]
+            vb = r["vcache"][0, b]
+            return jnp.dot(pb.astype(jnp.bfloat16),
+                           vb.astype(jnp.bfloat16) if kv_quant else vb,
+                           preferred_element_type=jnp.float32)
+
         accsc[:] = accsc[:] * alpha + jnp.concatenate(
-            [jnp.dot(p[b * H:(b + 1) * H, :].astype(jnp.bfloat16),
-                     r["vcache"][0, b], preferred_element_type=jnp.float32)
-             for b in range(B)], axis=0)
+            [pv_of(b) for b in range(B)], axis=0)
         msc[:] = m_new
 
         # ---- layer exit: current token, o-proj, FFN, residuals
@@ -506,15 +547,21 @@ def decode_step_fused(
     ln_eps: float = 1e-5,
     interpret: bool = False,
     kv_block: int | None = None,  # override KV block size (tests)
+    k_scales: jax.Array | None = None,  # (L, B, 1, S) f32: int8-KV mode —
+    v_scales: jax.Array | None = None,  # caches are int8 levels, per-row
+                                        # scales fold in at the score/weight
+                                        # stage (halves KV HBM traffic)
 ):
     """One full decode step over all layers (see module docstring).
 
     Returns (x_final (B, D) f32, k_rows (L, B, D), v_rows (L, B, D) in
-    cache dtype). ``k_cache``/``v_cache`` are flat-D views (L, B, S, D);
-    ``past`` is a scalar (B=1) or per-slot (B,) vector of positions; the
-    caller writes each slot's returned rows at its own position.
+    cache dtype — f32 in int8-KV mode: the CALLER quantizes the new rows).
+    ``k_cache``/``v_cache`` are flat-D views (L, B, S, D); ``past`` is a
+    scalar (B=1) or per-slot (B,) vector of positions; the caller writes
+    each slot's returned rows at its own position.
     """
     L, B, S, D = k_cache.shape
+    kv_quant = k_scales is not None
     H = n_head
     qkv: QuantizedTensor = layers["qkv"]["w"]
     F = layers["fc1"]["w"].scales.shape[-1]
@@ -575,8 +622,16 @@ def decode_step_fused(
     kv_spec = pl.BlockSpec((1, B, KVB, D), lambda l, j: (l, 0, j, 0),
                            memory_space=pltpu.VMEM)
     in_specs += [kv_spec, kv_spec]
+    if kv_quant:
+        names += ["kcache_s", "vcache_s"]
+        args += [k_scales, v_scales]
+        s_spec = pl.BlockSpec((1, B, 1, KVB), lambda l, j: (l, 0, 0, j),
+                              memory_space=pltpu.VMEM)
+        in_specs += [s_spec, s_spec]
 
-    cache_dtype = k_cache.dtype
+    # int8-KV mode: the kernel's new K/V rows leave in f32 so the caller's
+    # row quantization sees full precision
+    cache_dtype = jnp.float32 if kv_quant else k_cache.dtype
     row_spec = pl.BlockSpec((1, B, D), lambda l, j: (l, 0, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [
@@ -603,18 +658,21 @@ def decode_step_fused(
     if B == 1:
         kernel = _make_kernel(names, D=D, H=H, KVB=KVB, eps=ln_eps,
                               offset=offset, packed=packed,
-                              five_bit=five_bit, has_mins=has_mins)
+                              five_bit=five_bit, has_mins=has_mins,
+                              kv_quant=kv_quant)
     else:
         kernel = _make_kernel_batched(
             names, B=B, D=D, H=H, KVB=KVB, eps=ln_eps, offset=offset,
-            packed=packed, five_bit=five_bit, has_mins=has_mins)
+            packed=packed, five_bit=five_bit, has_mins=has_mins,
+            kv_quant=kv_quant)
 
     # bytes: levels+scales+biases per layer, KV window, outputs
     wbytes = sum(int(jnp.size(layers[n]["w"].levels))
                  * layers[n]["w"].levels.dtype.itemsize
                  + int(jnp.size(layers[n]["w"].scales)) * 2
                  for n in ("qkv", "o", "fc1", "fc2"))
-    kv_bytes = 2 * L * B * W * D * 2
+    kv_bytes = 2 * L * B * W * (D * k_cache.dtype.itemsize
+                                + (4 if kv_quant else 0))
     cost = pl.CostEstimate(
         flops=2 * L * B * (D * 3 * D + D * D + 2 * D * F + 2 * H * W * D),
         bytes_accessed=wbytes + kv_bytes,

@@ -17,6 +17,13 @@ groups are contiguous, so this is head sharding).
 Default dtype float16 (the north-star upgrade over the reference's F32 —
 half the HBM traffic on the decode attention path); bfloat16 when the
 Pallas megakernel is active (Mosaic has no f16 vectors).
+
+``QuantKVCache`` (opt-in, ``Engine(kv_quant=True)``) stores K/V as int8
+with one f32 absmax scale per written row — halving KV HBM traffic again
+(at a 512-token window the B=8 lockstep step reads ~400 MB of bf16 KV vs
+~170 MB of packed weights, so KV dominates long-window serving). The
+per-row scale rides in a lane-major (L, B, 1, S) plane so kernels read it
+as a (1, S) row. Dequantization is exact-in-bf16 per row: |level| <= 127.
 """
 
 from __future__ import annotations
@@ -42,6 +49,21 @@ class KVCache(NamedTuple):
         return self.k.shape[1]
 
 
+class QuantKVCache(NamedTuple):
+    k: jax.Array   # (n_layer, batch, max_len, d_model) int8
+    v: jax.Array   # int8
+    ks: jax.Array  # (n_layer, batch, 1, max_len) float32 per-row scales
+    vs: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
 def init_cache(
     config: BioGptConfig,
     batch: int = 1,
@@ -50,7 +72,37 @@ def init_cache(
 ) -> KVCache:
     shape = (config.n_layer, batch, max_len or config.n_positions,
              config.d_model)
+    if dtype == jnp.int8:
+        sshape = shape[:2] + (1, shape[2])
+        return QuantKVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            ks=jnp.zeros(sshape, jnp.float32),
+            vs=jnp.zeros(sshape, jnp.float32))
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def quantize_rows(x: jax.Array):
+    """(…, D) float -> (int8 levels, (…,) f32 scales): per-row absmax/127."""
+    x = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x), axis=-1) / 127.0
+    safe = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(x / safe[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequant_layer(cache: QuantKVCache, layer: int, S: int, dtype):
+    """Layer views (batch, S, d_model) of a quantized cache, dequantized.
+
+    XLA fuses the int8 widen + per-row scale into the consuming dot's
+    operand stream; the materialized copy only exists tile-by-tile.
+    """
+    # level * scale in f32, ONE rounding to the target dtype (scales can be
+    # tiny; rounding them to bf16 before the product costs real precision)
+    k = cache.k[layer][:, :S].astype(jnp.float32)
+    v = cache.v[layer][:, :S].astype(jnp.float32)
+    ks = jnp.swapaxes(cache.ks[layer][:, :, :S], 1, 2)
+    vs = jnp.swapaxes(cache.vs[layer][:, :, :S], 1, 2)
+    return (k * ks).astype(dtype), (v * vs).astype(dtype)
 
 
 def update_layer(
@@ -63,6 +115,8 @@ def update_layer(
     (continuous batching: each slot has its own length).
     """
     past = jnp.asarray(past, jnp.int32)
+    if isinstance(cache, QuantKVCache):
+        return _update_layer_quant(cache, layer, k_new, v_new, past)
     if past.ndim == 0:
         # uniform offset: one contiguous dynamic_update_slice
         k_new = k_new.astype(cache.k.dtype)[None]
@@ -91,3 +145,38 @@ def update_layer(
         k_buf = jax.lax.dynamic_update_slice(k_buf, k_new[b][None, None], idx)
         v_buf = jax.lax.dynamic_update_slice(v_buf, v_new[b][None, None], idx)
     return KVCache(k=k_buf, v=v_buf)
+
+
+def _update_layer_quant(
+    cache: QuantKVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
+    past: jax.Array,
+) -> QuantKVCache:
+    """Quantize (batch, n_new, d_model) rows and write levels + scales."""
+    kq, ksc = quantize_rows(k_new)                      # (B, N) scales
+    vq, vsc = quantize_rows(v_new)
+    zero = jnp.zeros((), jnp.int32)
+    lix = jnp.asarray(layer, jnp.int32)
+    if past.ndim == 0:
+        idx = (lix, zero, past, zero)
+        sidx = (lix, zero, zero, past)
+        return QuantKVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, kq[None], idx),
+            v=jax.lax.dynamic_update_slice(cache.v, vq[None], idx),
+            ks=jax.lax.dynamic_update_slice(
+                cache.ks, ksc[None, :, None, :], sidx),
+            vs=jax.lax.dynamic_update_slice(
+                cache.vs, vsc[None, :, None, :], sidx),
+        )
+    B = k_new.shape[0]
+    k_buf, v_buf, ks_buf, vs_buf = cache
+    for b in range(B):
+        bix = jnp.asarray(b, jnp.int32)
+        idx = (lix, bix, past[b], zero)
+        sidx = (lix, bix, zero, past[b])
+        k_buf = jax.lax.dynamic_update_slice(k_buf, kq[b][None, None], idx)
+        v_buf = jax.lax.dynamic_update_slice(v_buf, vq[b][None, None], idx)
+        ks_buf = jax.lax.dynamic_update_slice(
+            ks_buf, ksc[b][None, None, None, :], sidx)
+        vs_buf = jax.lax.dynamic_update_slice(
+            vs_buf, vsc[b][None, None, None, :], sidx)
+    return QuantKVCache(k=k_buf, v=v_buf, ks=ks_buf, vs=vs_buf)

@@ -141,6 +141,7 @@ class Engine:
         donate_cache: bool = True,
         mesh=None,
         pack_q4: bool = True,
+        kv_quant: bool = False,
     ):
         self.config = config
         self.compute_dtype = compute_dtype
@@ -168,15 +169,27 @@ class Engine:
         if pack_q4 and mesh is None:
             params = _pack_matmul_weights(params)
 
+        # int8 KV (opt-in): levels + per-row absmax scales, half the KV HBM
+        # traffic of bf16 — see runtime/cache.QuantKVCache. Works on both
+        # the megakernel and per-op paths; not yet under a mesh (the quant
+        # cache has no sharding specs).
+        if kv_quant:
+            if mesh is not None:
+                raise NotImplementedError("kv_quant under a mesh")
+            if cache_dtype not in (None, jnp.int8):
+                raise ValueError("kv_quant forces an int8 cache")
+            cache_dtype = jnp.int8
+        self.kv_quant = kv_quant
         # Whole-model decode megakernel (ops/pallas_decode.py): single-
         # stream decode runs ALL layers as one Pallas kernel. Needs a bf16
-        # KV cache (Mosaic has no f16 vectors) and fused+packed quantized
-        # layer weights; greedy/sampled decode at batch=1, causal only.
+        # or int8 KV cache (Mosaic has no f16 vectors) and fused+packed
+        # quantized layer weights; greedy/sampled decode at batch=1,
+        # causal only.
         from ..ops.pallas_decode import supports_layers
         self._fused_decode = (
             mesh is None and pack_q4 and causal
             and compute_dtype != jnp.float32
-            and cache_dtype in (None, jnp.bfloat16)
+            and cache_dtype in (None, jnp.bfloat16, jnp.int8)
             and supports_layers(params.get("layers", {}), jnp.bfloat16,
                                 batch=1, n_new=1))
         # fp16 KV cache (the north-star upgrade over the reference's f32);

@@ -84,6 +84,7 @@ class BatchedEngine:
         pack_q4: bool = True,
         pipeline: int = 2,
         mesh=None,
+        kv_quant: bool = False,
     ):
         self.config = config
         self.B = max_batch
@@ -114,13 +115,23 @@ class BatchedEngine:
         elif pack_q4:
             from .engine import _pack_matmul_weights
             params = _pack_matmul_weights(params)
+        # int8 KV (opt-in): halves KV HBM traffic — the dominant byte
+        # stream of long-window lockstep decode (~400 MB/step of bf16 KV at
+        # B=8, S=512 vs ~170 MB of packed weights).
+        if kv_quant:
+            if mesh is not None:
+                raise NotImplementedError("kv_quant under a mesh")
+            if cache_dtype not in (None, jnp.int8):
+                raise ValueError("kv_quant forces an int8 cache")
+            cache_dtype = jnp.int8
+        self.kv_quant = kv_quant
         # Batched whole-model megakernel (ops/pallas_decode.py): the B<=8
         # lockstep decode step runs ALL layers as one kernel with per-slot
-        # positions. Needs a bf16 cache and fused+packed quantized weights.
+        # positions. Needs a bf16/int8 cache and fused+packed weights.
         from ..ops.pallas_decode import supports_layers
         self._fused_decode = (
             mesh is None and pack_q4 and compute_dtype != jnp.float32
-            and cache_dtype in (None, jnp.bfloat16)
+            and cache_dtype in (None, jnp.bfloat16, jnp.int8)
             and supports_layers(params.get("layers", {}), jnp.bfloat16,
                                 batch=self.B, n_new=1))
         if cache_dtype is None:
@@ -157,12 +168,15 @@ class BatchedEngine:
             gather + select keeps this ONE compiled program for every refill
             pattern — per-pattern shapes (the round-1 static-slots design)
             compile-stormed through the 20-40 s/program remote compiler.
+            Tree-mapped so the plain and int8-quantized cache pytrees both
+            work (the (1, B, 1, 1) mask broadcasts against levels and the
+            (L, B, 1, S) scale planes alike).
             """
             m = mask[None, :, None, None]
-            return KVCache(
-                k=jnp.where(m, small.k[:, src_row], big.k),
-                v=jnp.where(m, small.v[:, src_row], big.v),
-            )
+            return jax.tree.map(
+                lambda small_f, big_f: jnp.where(m, small_f[:, src_row],
+                                                 big_f),
+                small, big)
 
         self._insert_slots = jax.jit(
             insert_slots, donate_argnames=("big",))

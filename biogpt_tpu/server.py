@@ -129,6 +129,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--temp", type=float, default=0.0,
                    help="default temperature (requests may override)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (half the KV HBM traffic)")
     args = p.parse_args(argv)
 
     from .modelio.checkpoint import load_params
@@ -141,7 +143,7 @@ def main(argv=None) -> int:
         return 1
     tokenizer = BioGptTokenizer(vocab, merges)
     engine = BatchedEngine(config, params, max_batch=args.batch,
-                           max_seq=args.max_seq)
+                           max_seq=args.max_seq, kv_quant=args.kv_quant)
     scheduler = ServingScheduler(
         engine, GenerationParams(temp=args.temp))
     server = BioGptServer(scheduler, tokenizer,
