@@ -27,6 +27,7 @@ Env:
   BENCH_MESH=DxM               run the engine over a (data=D, model=M) mesh
                                (shard_map TP path) — for multi-chip rounds;
                                requires D*M <= len(jax.devices())
+  BENCH_KV_QUANT=1             int8 KV cache (metric names gain _kvq)
 """
 
 import json
@@ -133,13 +134,13 @@ def bench_prefill(eng: Engine, qname: str) -> None:
 
 
 def bench_serving(params, config, qname: str, single_stream_tok_s: float,
-                  mesh=None) -> None:
+                  mesh=None, kv_quant: bool = False) -> None:
     from biogpt_tpu.runtime.serving import BatchedEngine, Request
 
     B, n_pred = 8, 48
     be = BatchedEngine(config, params, max_batch=B,
                        compute_dtype=jnp.bfloat16, max_seq=512, chunk=16,
-                       mesh=mesh)
+                       mesh=mesh, kv_quant=kv_quant)
     rng = np.random.default_rng(0)
 
     def make_reqs(n):
@@ -203,9 +204,12 @@ def main() -> int:
         d, m = (int(v) for v in mesh_spec.split("x"))
         mesh = make_mesh(data=d, model=m)
         log(f"mesh: {mesh_spec} (shard_map TP decode; megakernel off)")
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "0") == "1"
+    if kv_quant:
+        qname += "_kvq"
 
     eng = Engine(config, params, compute_dtype=jnp.bfloat16,
-                 pack_q4=use_pallas, mesh=mesh)
+                 pack_q4=use_pallas, mesh=mesh, kv_quant=kv_quant)
     log(f"megakernel={eng._fused_decode}; warming up (compile ~20-40s/program"
         f" + one-time deep-queue warmup, can take minutes)...")
     t0 = time.perf_counter()
@@ -217,7 +221,8 @@ def main() -> int:
         bench_prefill(eng, qname)
     del eng
     if os.environ.get("BENCH_SERVING", "1") == "1":
-        bench_serving(params, config, qname, single_marginal, mesh=mesh)
+        bench_serving(params, config, qname, single_marginal, mesh=mesh,
+                      kv_quant=kv_quant)
     return 0
 
 
