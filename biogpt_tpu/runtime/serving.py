@@ -334,6 +334,7 @@ class BatchedEngine:
         gen: GenerationParams | None = None,
         more=None,
         on_complete=None,
+        on_token=None,
     ) -> Dict[int, RequestResult]:
         """Run all requests to completion with continuous slot refill.
 
@@ -351,6 +352,11 @@ class BatchedEngine:
         as soon as a request's final token has DRAINED to the host (not
         merely been scheduled) — completion latency instead of batch
         latency for callers awaiting individual requests.
+
+        ``on_token``: optional ``f(request_id, token_id)`` invoked per
+        generated token as its drain lands (tokens arrive in bursts of up
+        to ``chunk`` per request, ``pipeline`` chunks behind the device —
+        streaming with bounded latency, not per-step host sync).
 
         Two mechanisms keep the host off the critical path (a device->host
         fetch costs a ~26-55 ms RPC on this runtime, ~2-4x a 16-step
@@ -386,6 +392,11 @@ class BatchedEngine:
         reqs_by_id: Dict[int, Request] = {}
         notified: set = set()
         cache = self.new_cache()
+
+        def emit_token(rid: int, tid: int) -> None:
+            results[rid].ids.append(tid)
+            if on_token is not None:
+                on_token(rid, tid)
 
         def notify() -> None:
             """Fire on_complete for requests whose final token has drained."""
@@ -500,12 +511,12 @@ class BatchedEngine:
             block = vals[self.B:].reshape(self.chunk, self.B)
             for b in range(self.B):
                 if fbound[b] is not None and not req_done(fbound[b]):
-                    results[fbound[b].request_id].ids.append(int(firsts[b]))
+                    emit_token(fbound[b].request_id, int(firsts[b]))
             for step_row in block:
                 for b in range(self.B):
                     req = bound[b]
                     if req is not None and not req_done(req):
-                        results[req.request_id].ids.append(int(step_row[b]))
+                        emit_token(req.request_id, int(step_row[b]))
 
         while True:
             if more is not None:
@@ -530,8 +541,7 @@ class BatchedEngine:
                     vals = np.asarray(first_buf)
                     for b in fresh_slots:
                         if not req_done(slot_req[b]):
-                            results[slot_req[b].request_id].ids.append(
-                                int(vals[b]))
+                            emit_token(slot_req[b].request_id, int(vals[b]))
                     fresh_slots.clear()
                     notify()
                     continue
@@ -616,8 +626,11 @@ class ServingScheduler:
 
     def submit(self, prompt_ids: List[int], n_predict: int = 64,
                temp: Optional[float] = None, top_k: Optional[int] = None,
-               top_p: Optional[float] = None):
-        """Enqueue one generation; returns a Future[RequestResult]."""
+               top_p: Optional[float] = None, on_token=None):
+        """Enqueue one generation; returns a Future[RequestResult].
+
+        ``on_token``: optional ``f(token_id)`` streamed per generated token
+        (called from the worker thread, in bursts as drains land)."""
         from concurrent.futures import Future
 
         if self._stop:
@@ -628,7 +641,7 @@ class ServingScheduler:
         fut: Future = Future()
         req = Request(prompt_ids=list(prompt_ids), n_predict=n_predict,
                       request_id=rid, temp=temp, top_k=top_k, top_p=top_p)
-        self._queue.put((req, fut))
+        self._queue.put((req, fut, on_token))
         self._wake.set()
         return fut
 
@@ -659,23 +672,32 @@ class ServingScheduler:
                 if self._stop:
                     return
                 continue
-            futures = {req.request_id: fut for req, fut in batch}
+            futures = {req.request_id: fut for req, fut, _ in batch}
+            streams = {req.request_id: cb for req, _, cb in batch
+                       if cb is not None}
 
             def more():
                 extra = self._take_pending()
-                for req, fut in extra:
+                for req, fut, cb in extra:
                     futures[req.request_id] = fut
-                return [req for req, _ in extra]
+                    if cb is not None:
+                        streams[req.request_id] = cb
+                return [req for req, _, _ in extra]
 
             def on_complete(rid, result):
                 fut = futures.pop(rid, None)
                 if fut is not None:
                     fut.set_result(result)
 
+            def on_token(rid, tid):
+                cb = streams.get(rid)
+                if cb is not None:
+                    cb(tid)
+
             try:
                 results = self.engine.serve(
-                    [req for req, _ in batch], self.gen,
-                    more=more, on_complete=on_complete)
+                    [req for req, _, _ in batch], self.gen,
+                    more=more, on_complete=on_complete, on_token=on_token)
                 for rid, fut in list(futures.items()):
                     if rid in results:   # safety net: missed notification
                         fut.set_result(results[rid])

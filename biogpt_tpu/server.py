@@ -60,6 +60,38 @@ class BioGptServer:
                 else:
                     self._json(404, {"error": "not found"})
 
+            def _stream(self, ids, sampling):
+                """Server-sent events: one `data:` line per generated token
+                (tokens arrive in bursts as serving drains land), then a
+                final done event with the full result."""
+                import queue as _q
+
+                q: "_q.Queue" = _q.Queue()
+                fut = outer.scheduler.submit(ids, on_token=q.put, **sampling)
+                fut.add_done_callback(lambda f: q.put(None))
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                while True:
+                    tid = q.get(timeout=request_timeout_s)
+                    if tid is None:
+                        break
+                    ev = {"token_id": tid}
+                    if outer.tokenizer is not None:
+                        ev["piece"] = outer.tokenizer.id_to_token.get(
+                            tid, "<unk>")
+                    self.wfile.write(
+                        f"data: {json.dumps(ev)}\n\n".encode())
+                    self.wfile.flush()
+                result = fut.result()
+                done = {"done": True, "ids": result.ids,
+                        "new_ids": result.new_ids}
+                if outer.tokenizer is not None:
+                    done["text"] = outer.tokenizer.decode(result.ids)
+                self.wfile.write(f"data: {json.dumps(done)}\n\n".encode())
+
             def do_POST(self):
                 if self.path != "/generate":
                     self._json(404, {"error": "not found"})
@@ -78,8 +110,7 @@ class BioGptServer:
                     else:
                         self._json(400, {"error": "need prompt or prompt_ids"})
                         return
-                    fut = outer.scheduler.submit(
-                        ids,
+                    sampling = dict(
                         n_predict=int(body.get("n_predict", 64)),
                         temp=(None if "temp" not in body
                               else float(body["temp"])),
@@ -87,6 +118,10 @@ class BioGptServer:
                                else int(body["top_k"])),
                         top_p=(None if "top_p" not in body
                                else float(body["top_p"])))
+                    if body.get("stream"):
+                        self._stream(ids, sampling)
+                        return
+                    fut = outer.scheduler.submit(ids, **sampling)
                     result = fut.result(timeout=request_timeout_s)
                 except json.JSONDecodeError:
                     self._json(400, {"error": "invalid JSON"})

@@ -124,3 +124,39 @@ def test_http_generate_roundtrip(scheduler, single_engine):
         assert conn.getresponse().status == 400
     finally:
         server._httpd.shutdown()   # keep the module-scoped scheduler alive
+
+
+def test_scheduler_token_streaming(scheduler, single_engine):
+    """on_token callbacks deliver every generated token, in order, and the
+    stream equals the final result's new_ids."""
+    streamed = []
+    fut = scheduler.submit([2, 5, 9], n_predict=6, on_token=streamed.append)
+    result = fut.result(timeout=120)
+    assert streamed == result.new_ids
+    assert result.ids == _expected(single_engine, [2, 5, 9], 6)
+
+
+def test_http_sse_streaming(scheduler, single_engine):
+    from biogpt_tpu.server import BioGptServer
+
+    server = BioGptServer(scheduler, tokenizer=None, port=0)
+    server.start()
+    try:
+        conn = http.client.HTTPConnection(server.host, server.port,
+                                          timeout=120)
+        body = json.dumps({"prompt_ids": [2, 7, 8], "n_predict": 5,
+                           "stream": True})
+        conn.request("POST", "/generate", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        events = [json.loads(line[len(b"data: "):])
+                  for line in resp.read().split(b"\n\n")
+                  if line.startswith(b"data: ")]
+        *tokens, done = events
+        expect = _expected(single_engine, [2, 7, 8], 5)
+        assert done["done"] and done["ids"] == expect
+        assert [e["token_id"] for e in tokens] == expect[3:]
+    finally:
+        server._httpd.shutdown()
