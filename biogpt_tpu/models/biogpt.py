@@ -157,7 +157,10 @@ def _attention(
     scores = jnp.where(valid, scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)
 
-    attn_dot = attn if compute_dtype == jnp.float32 else attn.astype(cache.v.dtype)
+    # cast the softmax weights to the (DEQUANTIZED) value dtype — not the
+    # raw cache dtype: with an int8 cache that would truncate every weight
+    # below 1.0 to zero and collapse the context
+    attn_dot = attn if compute_dtype == jnp.float32 else attn.astype(v_all.dtype)
     ctx = jnp.einsum("bhns,bshd->bnhd", attn_dot, v_all,
                      preferred_element_type=jnp.float32, precision=prec)
     ctx = ctx.reshape(B, N, H * Dk)

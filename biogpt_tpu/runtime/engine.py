@@ -179,7 +179,7 @@ class Engine:
             if cache_dtype not in (None, jnp.int8):
                 raise ValueError("kv_quant forces an int8 cache")
             cache_dtype = jnp.int8
-        self.kv_quant = kv_quant
+        # (downstream dispatch keys on cache_dtype / the cache pytree type)
         # Whole-model decode megakernel (ops/pallas_decode.py): single-
         # stream decode runs ALL layers as one Pallas kernel. Needs a bf16
         # or int8 KV cache (Mosaic has no f16 vectors) and fused+packed

@@ -124,7 +124,7 @@ class BatchedEngine:
             if cache_dtype not in (None, jnp.int8):
                 raise ValueError("kv_quant forces an int8 cache")
             cache_dtype = jnp.int8
-        self.kv_quant = kv_quant
+        # (downstream dispatch keys on cache_dtype / the cache pytree type)
         # Batched whole-model megakernel (ops/pallas_decode.py): the B<=8
         # lockstep decode step runs ALL layers as one kernel with per-slot
         # positions. Needs a bf16/int8 cache and fused+packed weights.
@@ -390,7 +390,11 @@ class BatchedEngine:
         queue = list(requests)
         results: Dict[int, RequestResult] = {}
         reqs_by_id: Dict[int, Request] = {}
-        notified: set = set()
+        # capacity-truncated requests: request_id -> the number of new
+        # tokens that will ever drain for it (scheduled before its slot hit
+        # the KV-capacity rule). Without this, a truncated request never
+        # reaches n_predict/EOS, so on_complete would never fire for it.
+        capped: Dict[int, int] = {}
         cache = self.new_cache()
 
         def emit_token(rid: int, tid: int) -> None:
@@ -399,13 +403,25 @@ class BatchedEngine:
                 on_token(rid, tid)
 
         def notify() -> None:
-            """Fire on_complete for requests whose final token has drained."""
+            """Fire on_complete for requests whose final token has drained.
+
+            Completed requests leave ``reqs_by_id`` (this scan must not
+            grow with the total ever served); under live intake (``more``)
+            their results are also EVICTED from the returned dict — a
+            long-lived serve() otherwise accumulates every past request —
+            so with ``more`` + ``on_complete`` the callback is the one
+            delivery channel.
+            """
             if on_complete is None:
                 return
-            for rid, req in reqs_by_id.items():
-                if rid not in notified and req_done(req):
-                    notified.add(rid)
-                    on_complete(rid, results[rid])
+            done_ids = [rid for rid, req in reqs_by_id.items()
+                        if req_done(req)]
+            for rid in done_ids:
+                del reqs_by_id[rid]
+                on_complete(rid, results[rid])
+                if more is not None:
+                    results.pop(rid)
+                    capped.pop(rid, None)
 
         # host-side slot table
         slot_req: List[Optional[Request]] = [None] * self.B
@@ -434,8 +450,13 @@ class BatchedEngine:
             """
             if req is None:
                 return True
-            res = results[req.request_id]
+            res = results.get(req.request_id)
+            if res is None:   # completed and evicted (live-intake mode)
+                return True
             n_new = len(res.ids) - res.prompt_len
+            cap = capped.get(req.request_id)
+            if cap is not None and n_new >= cap:
+                return True   # capacity-truncated: all its tokens drained
             if n_new >= req.n_predict:
                 return True
             return (gen.stop_at_eos and n_new > 0
@@ -521,6 +542,15 @@ class BatchedEngine:
         while True:
             if more is not None:
                 queue.extend(more())
+            # a slot at the KV-capacity rule schedules no further chunks:
+            # cap its request at the already-scheduled count so req_done /
+            # notify treat it as complete once those tokens drain
+            for b in range(self.B):
+                req = slot_req[b]
+                if (req is not None
+                        and lengths_host[b] + self.chunk > self.max_seq
+                        and sched_new[b] < req.n_predict):
+                    capped.setdefault(req.request_id, sched_new[b])
             # refill free slots (one batched prefill per bucket); freeing is
             # scheduling-based, so n_predict-terminated requests refill with
             # ZERO drain latency (only EOS early-exit lags)
@@ -554,9 +584,11 @@ class BatchedEngine:
             # dynamic_update_slice to the slot's own last cache row.)
             window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
                          self.max_seq)
-            greedy_now = all_greedy if more is None else all(
-                is_greedy(slot_req[b]) for b in range(self.B)
-                if slot_req[b] is not None and not slot_free(b))
+            # live intake always runs the per-request sampler (it handles
+            # greedy rows): flipping the static all_greedy flag when a
+            # sampled request joined a greedy batch would stall EVERY
+            # in-flight request on a 20-40 s remote compile per window
+            greedy_now = all_greedy if more is None else False
             out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
             toks, cache, lengths, rng, out_buf = self._step_scan(
                 self.params, toks, cache, lengths, rng, temps, top_ps,
@@ -616,7 +648,10 @@ class ServingScheduler:
         self.gen = gen or GenerationParams(temp=0.0)
         self._queue: "_queue.Queue" = _queue.Queue()
         self._next_id = 0
-        self._id_lock = threading.Lock()
+        # guards _stop vs submit: without it a submit could pass the closed
+        # check, close()'s worker could exit on an empty queue, and the
+        # late-enqueued future would hang forever
+        self._lock = threading.Lock()
         self._poll_s = poll_s
         self._stop = False
         self._wake = threading.Event()
@@ -633,23 +668,27 @@ class ServingScheduler:
         (called from the worker thread, in bursts as drains land)."""
         from concurrent.futures import Future
 
-        if self._stop:
-            raise RuntimeError("scheduler is closed")
-        with self._id_lock:
+        fut: Future = Future()
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("scheduler is closed")
             rid = self._next_id
             self._next_id += 1
-        fut: Future = Future()
-        req = Request(prompt_ids=list(prompt_ids), n_predict=n_predict,
-                      request_id=rid, temp=temp, top_k=top_k, top_p=top_p)
-        self._queue.put((req, fut, on_token))
+            req = Request(prompt_ids=list(prompt_ids), n_predict=n_predict,
+                          request_id=rid, temp=temp, top_k=top_k, top_p=top_p)
+            self._queue.put((req, fut, on_token))
         self._wake.set()
         return fut
 
     def close(self, timeout: Optional[float] = 30.0) -> None:
         """Stop accepting work; wait for in-flight requests to finish."""
-        self._stop = True
+        with self._lock:
+            self._stop = True
         self._wake.set()
         self._thread.join(timeout=timeout)
+        # fail (rather than hang) anything still queued when the worker died
+        for _, fut, _ in self._take_pending():
+            fut.set_exception(RuntimeError("scheduler closed"))
 
     # ------------------------------------------------------------- worker
 
@@ -685,6 +724,7 @@ class ServingScheduler:
                 return [req for req, _, _ in extra]
 
             def on_complete(rid, result):
+                streams.pop(rid, None)
                 fut = futures.pop(rid, None)
                 if fut is not None:
                     fut.set_result(result)
@@ -699,9 +739,14 @@ class ServingScheduler:
                     [req for req, _, _ in batch], self.gen,
                     more=more, on_complete=on_complete, on_token=on_token)
                 for rid, fut in list(futures.items()):
-                    if rid in results:   # safety net: missed notification
+                    # safety net: every request must have been notified;
+                    # resolve-or-fail so no waiter can hang
+                    if rid in results:
                         fut.set_result(results[rid])
-                        futures.pop(rid)
+                    else:
+                        fut.set_exception(RuntimeError(
+                            f"request {rid} not completed by serve()"))
+                    futures.pop(rid)
             except Exception as e:   # propagate to waiters, keep serving
                 for fut in futures.values():
                     fut.set_exception(e)

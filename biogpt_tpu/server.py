@@ -74,23 +74,42 @@ class BioGptServer:
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("Connection", "close")
                 self.end_headers()
-                while True:
-                    tid = q.get(timeout=request_timeout_s)
-                    if tid is None:
-                        break
-                    ev = {"token_id": tid}
+                # once the 200/event-stream headers are out, every failure
+                # must end INSIDE the stream (an error event if the socket
+                # still works, silence if it doesn't) — a second HTTP status
+                # line on a half-written response is protocol garbage
+                try:
+                    while True:
+                        try:
+                            tid = q.get(timeout=request_timeout_s)
+                        except _q.Empty:
+                            self.wfile.write(
+                                b'data: {"error": "timeout"}\n\n')
+                            return
+                        if tid is None:
+                            break
+                        ev = {"token_id": tid}
+                        if outer.tokenizer is not None:
+                            ev["piece"] = outer.tokenizer.id_to_token.get(
+                                tid, "<unk>")
+                        self.wfile.write(
+                            f"data: {json.dumps(ev)}\n\n".encode())
+                        self.wfile.flush()
+                    result = fut.result()
+                    done = {"done": True, "ids": result.ids,
+                            "new_ids": result.new_ids}
                     if outer.tokenizer is not None:
-                        ev["piece"] = outer.tokenizer.id_to_token.get(
-                            tid, "<unk>")
-                    self.wfile.write(
-                        f"data: {json.dumps(ev)}\n\n".encode())
-                    self.wfile.flush()
-                result = fut.result()
-                done = {"done": True, "ids": result.ids,
-                        "new_ids": result.new_ids}
-                if outer.tokenizer is not None:
-                    done["text"] = outer.tokenizer.decode(result.ids)
-                self.wfile.write(f"data: {json.dumps(done)}\n\n".encode())
+                        done["text"] = outer.tokenizer.decode(result.ids)
+                    self.wfile.write(f"data: {json.dumps(done)}\n\n".encode())
+                except OSError:
+                    pass   # client went away mid-stream
+                except Exception as e:
+                    try:
+                        self.wfile.write(
+                            f"data: {json.dumps({'error': str(e)})}\n\n"
+                            .encode())
+                    except OSError:
+                        pass
 
             def do_POST(self):
                 if self.path != "/generate":

@@ -192,3 +192,24 @@ def test_engine_rejects_kv_quant_with_mesh(params_f32):
 
     with pytest.raises(NotImplementedError):
         Engine(CFG, params_f32, mesh=make_mesh(1, 1), kv_quant=True)
+
+
+def test_per_op_forward_int8_bf16_compute(params_f32):
+    """REGRESSION: with bf16 compute the per-op path once cast the softmax
+    weights to the raw cache dtype (int8), truncating every weight < 1 to
+    zero and collapsing the context. int8-KV bf16-compute logits must stay
+    close to the fp16-cache bf16-compute reference."""
+    ids = np.random.RandomState(3).randint(
+        3, CFG.n_vocab, size=(1, 8)).astype(np.int32)
+
+    def run(dtype):
+        cache = init_cache(CFG, batch=1, max_len=32, dtype=dtype)
+        logits, _ = forward(params_f32, jnp.asarray(ids), cache,
+                            jnp.int32(0), CFG, compute_dtype=jnp.bfloat16,
+                            logits_mode="all", allow_pallas=False)
+        return np.asarray(logits)
+
+    ref = run(jnp.float16)
+    got = run(jnp.int8)
+    np.testing.assert_allclose(got, ref, rtol=0.06, atol=0.2)
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.8

@@ -171,3 +171,18 @@ def test_mesh_serving_matches_single(tiny_params, single_engine, data, model):
     for i, p in enumerate(prompts):
         expect = _expected(single_engine, p, 6)
         assert results[i].ids == expect, (i, results[i].ids, expect)
+
+
+def test_capacity_truncated_request_fires_on_complete(tiny_params):
+    """A KV-capacity-truncated request must still be reported complete via
+    on_complete once its scheduled tokens drain (a live scheduler future
+    would otherwise hang under sustained traffic)."""
+    be = BatchedEngine(TINY, tiny_params, max_batch=1,
+                       compute_dtype=jnp.float32, chunk=4, max_seq=16)
+    done = []
+    reqs = [Request(prompt_ids=[2, 5, 9], n_predict=40, request_id=0),
+            Request(prompt_ids=[2, 7], n_predict=3, request_id=1)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False),
+                       on_complete=lambda rid, res: done.append(rid))
+    assert sorted(done) == [0, 1]
+    assert 0 < len(results[0].new_ids) < 40   # truncated, and notified
