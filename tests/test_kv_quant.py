@@ -213,3 +213,21 @@ def test_per_op_forward_int8_bf16_compute(params_f32):
     got = run(jnp.int8)
     np.testing.assert_allclose(got, ref, rtol=0.06, atol=0.2)
     assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.8
+
+
+def test_perplexity_int8_kv_close_to_f16(params_f32):
+    """Δppl(int8 KV vs fp16 KV) stays small on a controlled model — the
+    quality guarantee behind --kv-quant (cf. the int8-KV papers' claim)."""
+    from biogpt_tpu.tools.perplexity import perplexity_of_ids
+
+    ids = np.random.RandomState(4).randint(
+        3, CFG.n_vocab, size=40).tolist()
+    base = perplexity_of_ids(
+        Engine(CFG, params_f32, compute_dtype=jnp.float32,
+               max_seq=40, donate_cache=False), ids, window=40)
+    quant = perplexity_of_ids(
+        Engine(CFG, params_f32, compute_dtype=jnp.float32, kv_quant=True,
+               max_seq=40, donate_cache=False), ids, window=40)
+    assert quant["tokens"] == base["tokens"]
+    # relative ppl drift from KV quantization alone
+    assert abs(quant["ppl"] - base["ppl"]) / base["ppl"] < 0.02, (quant, base)

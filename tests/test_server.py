@@ -160,3 +160,36 @@ def test_http_sse_streaming(scheduler, single_engine):
         assert [e["token_id"] for e in tokens] == expect[3:]
     finally:
         server._httpd.shutdown()
+
+
+def test_http_concurrent_clients(scheduler, single_engine):
+    """Many simultaneous clients batch together and all get correct
+    results (B=2 slots, 6 clients)."""
+    from biogpt_tpu.server import BioGptServer
+
+    server = BioGptServer(scheduler, tokenizer=None, port=0)
+    server.start()
+    prompts = [[2, i + 3, i + 11] for i in range(6)]
+    out = {}
+
+    def client(i):
+        conn = http.client.HTTPConnection(server.host, server.port,
+                                          timeout=300)
+        body = json.dumps({"prompt_ids": prompts[i], "n_predict": 4})
+        conn.request("POST", "/generate", body=body)
+        resp = conn.getresponse()
+        out[i] = (resp.status, json.loads(resp.read()))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, p in enumerate(prompts):
+            status, payload = out[i]
+            assert status == 200
+            assert payload["ids"] == _expected(single_engine, p, 4), i
+    finally:
+        server._httpd.shutdown()
