@@ -280,6 +280,8 @@ def forward_fused_decode(
     kv_window: int = 128,        # static, >= max(past) + 1
     interpret: bool = False,
     kv_block: Optional[int] = None,  # KV block-size override (tests)
+    per_slot_kv: bool = False,   # paged KV: each slot streams only its own
+                                 # live blocks (mixed-length serving batches)
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode through the whole-model Pallas megakernel.
 
@@ -307,7 +309,8 @@ def forward_fused_decode(
         past_vec, n_head=config.n_head, window=kv_window,
         ln_eps=config.ln_eps, interpret=interpret, kv_block=kv_block,
         k_scales=cache.ks if kv_quant else None,
-        v_scales=cache.vs if kv_quant else None)
+        v_scales=cache.vs if kv_quant else None,
+        per_slot_kv=per_slot_kv)
 
     # ONE cache write per (tensor, slot): every layer's new row for slot b
     # lands at that slot's own position

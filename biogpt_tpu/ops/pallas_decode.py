@@ -502,12 +502,166 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
     return kernel
 
 
+def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
+                       five_bit, has_mins, kv_quant=False):
+    """Per-slot-KV ("paged") variant of :func:`_make_kernel_batched`.
+
+    Grid is (L, B, nW): step (l, b, j) reads ONLY slot b's KV block j, and
+    the KV BlockSpec clamps j to the slot's live block count (a scalar-
+    prefetched vector) — Pallas elides the HBM->VMEM copy when consecutive
+    grid steps map to the same block, so a slot at position p streams
+    ceil(p/KVB) blocks instead of the batch-wide window. At B=8 with mixed
+    lengths this cuts the dominant byte stream of lockstep decode (KV is
+    ~2.3x the packed-weight bytes at S=512) roughly in half.
+
+    The per-(b, j) compute runs at full (B*H)-row width with non-slot rows
+    masked to a no-op (alpha=1, p=0): an (H,)-row dot and a (B*H,)-row dot
+    cost the same MXU passes (row granularity is 128), and masking avoids
+    dynamically slicing the softmax-state scratch at traced offsets.
+    """
+    scale = 1.0 / math.sqrt(D // H)
+    Dk = D // H
+    BH = B * H
+
+    def kernel(nb_ref, *refs):
+        r = dict(zip(names, refs))
+        n_in = len(names)
+        xout_ref, krow_ref, vrow_ref = refs[n_in:n_in + 3]
+        xres, qbd, kcur, vcur, msc, lsc, accsc = refs[n_in + 3:]
+
+        lyr = pl.program_id(0)
+        b = pl.program_id(1)
+        j = pl.program_id(2)
+        nW = pl.num_programs(2)
+
+        def mn(name):
+            return r[name + "_mn"] if has_mins else None
+
+        def vec(name):
+            return r[name][0]
+
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (BH, D), 1) // Dk
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (BH, D), 0) % H
+        hm_t = (col_h == row_h).astype(jnp.bfloat16)      # tiled head mask
+        rep_c = jax.lax.broadcasted_iota(jnp.int32, (BH, B), 1)
+        rep_r = jax.lax.broadcasted_iota(jnp.int32, (BH, B), 0) // H
+        rep = (rep_c == rep_r).astype(jnp.float32)        # (BH, B) slot-rep
+
+        # ---- layer entry: LN0 + fused qkv projection for ALL slots
+        @pl.when((b == 0) & (j == 0))
+        def _start_layer():
+            @pl.when(lyr == 0)
+            def _():
+                xres[:] = r["x0"][:]
+
+            h = _ln(xres[:], vec("ln0w"), vec("ln0b"), eps)     # (B, D)
+            qkv = _qmm_dq(h.astype(jnp.bfloat16), r["qkv_lv"], r["qkv_sc"],
+                          mn("qkv"), offset=offset, packed=packed,
+                          five_bit=five_bit)
+            qkv = qkv + vec("qkv_b").astype(jnp.float32)
+            q = qkv[:, :D] * scale
+            k = qkv[:, D:2 * D]
+            v = qkv[:, 2 * D:]
+            krow_ref[0] = k.astype(krow_ref.dtype)
+            vrow_ref[0] = v.astype(vrow_ref.dtype)
+            kcur[:] = _fake_quant_rows(k) if kv_quant else k
+            vcur[:] = _fake_quant_rows(v) if kv_quant else v
+            q_rep = jnp.dot(rep, q, preferred_element_type=jnp.float32)
+            qbd[:] = hm_t * q_rep.astype(jnp.bfloat16)
+            msc[:] = jnp.full_like(msc, -1e30)
+            lsc[:] = jnp.zeros_like(lsc)
+            accsc[:] = jnp.zeros_like(accsc)
+
+        # ---- slot b's KV block j (skipped entirely past the slot's length)
+        @pl.when(j < nb_ref[b])
+        def _block():
+            kblk = r["kcache"][0, 0]                       # (KVB, D)
+            vblk = r["vcache"][0, 0]
+            if kv_quant:
+                kblk = kblk.astype(jnp.bfloat16)
+                vblk = vblk.astype(jnp.bfloat16)
+            scores = jax.lax.dot_general(
+                qbd[:], kblk, _NT,
+                preferred_element_type=jnp.float32)        # (BH, KVB)
+            if kv_quant:
+                scores = scores * r["kcache_s"][0, 0]      # (1, KVB) bcast
+            # rows of other slots are masked to a state no-op: their masked
+            # scores are -1e30, so m_new == m_prev, alpha == 1, p == 0
+            rows = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 0) // H
+            idx = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 1) + j * KVB
+            valid = (rows == b) & (idx < r["past"][0, b])
+            masked = jnp.where(valid, scores, -1e30)
+            m_prev = msc[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(masked, axis=1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            lsc[:] = lsc[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            p_v = p * r["vcache_s"][0, 0] if kv_quant else p
+            accsc[:] = accsc[:] * alpha + jnp.dot(
+                p_v.astype(jnp.bfloat16), vblk,
+                preferred_element_type=jnp.float32)
+            msc[:] = m_new
+
+        # ---- layer exit: current token, o-proj, FFN, residuals
+        @pl.when((b == B - 1) & (j == nW - 1))
+        def _finish_layer():
+            kcur_rep = jnp.dot(rep, kcur[:],
+                               preferred_element_type=jnp.float32)
+            vcur_rep = jnp.dot(rep, vcur[:],
+                               preferred_element_type=jnp.float32)
+            cur = jnp.sum(qbd[:].astype(jnp.float32) * kcur_rep,
+                          axis=1, keepdims=True)             # (BH, 1)
+            m_prev2 = msc[:]
+            m_fin = jnp.maximum(m_prev2, cur)
+            alpha2 = jnp.exp(m_prev2 - m_fin)
+            p_cur = jnp.exp(cur - m_fin)
+            l_all = lsc[:] * alpha2 + p_cur
+            acc = accsc[:] * alpha2 + p_cur * vcur_rep       # (BH, D)
+            ctx = acc / l_all
+            ctx_flat = jnp.dot(rep.T.astype(jnp.float32),
+                               ctx * hm_t.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+            attn = _qmm_dq(ctx_flat.astype(jnp.bfloat16), r["o_lv"],
+                           r["o_sc"], mn("o"), offset=offset, packed=packed,
+                           five_bit=five_bit)
+            x = xres[:] + attn + vec("o_b").astype(jnp.float32)
+
+            h2 = _ln(x, vec("ln1w"), vec("ln1b"), eps).astype(jnp.bfloat16)
+            f = _qmm_dq(h2, r["fc1_lv"], r["fc1_sc"], mn("fc1"),
+                        offset=offset, packed=packed, five_bit=five_bit)
+            f = _gelu_erf(f + vec("fc1_b").astype(jnp.float32))
+            out = _qmm_dq(f.astype(jnp.bfloat16), r["fc2_lv"], r["fc2_sc"],
+                          mn("fc2"), offset=offset, packed=packed,
+                          five_bit=five_bit)
+            xres[:] = x + out + vec("fc2_b").astype(jnp.float32)
+
+            @pl.when(lyr == pl.num_programs(0) - 1)
+            def _():
+                xout_ref[:] = xres[:]
+
+    return kernel
+
+
 def _kv_block(window: int) -> int:
     """KV block size: cap VMEM at 512 slots; fall back to one block for odd
     windows (engine buckets are powers of two, so this is the normal case)."""
     if window > 512 and window % 512 == 0:
         return 512
     return window
+
+
+# Per-slot ("paged") KV block: finer than the lockstep block so short slots
+# in a ragged batch skip real fractions of the window (skip granularity ==
+# the block size). 128 rows x 1024 lanes of bf16 = a 256 KB DMA — plenty to
+# run at full HBM bandwidth.
+_PAGED_KVB = 128
+
+
+def _kv_block_paged(window: int) -> int:
+    if window % _PAGED_KVB == 0:
+        return _PAGED_KVB
+    return _kv_block(window)
 
 
 def supports_layers(layers: dict, cache_dtype, batch: int, n_new: int) -> bool:
@@ -534,7 +688,8 @@ def supports_layers(layers: dict, cache_dtype, batch: int, n_new: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "window", "ln_eps", "interpret", "kv_block"))
+    static_argnames=("n_head", "window", "ln_eps", "interpret", "kv_block",
+                     "per_slot_kv"))
 def decode_step_fused(
     x0: jax.Array,
     layers: dict,
@@ -551,6 +706,8 @@ def decode_step_fused(
     v_scales: jax.Array | None = None,  # caches are int8 levels, per-row
                                         # scales fold in at the score/weight
                                         # stage (halves KV HBM traffic)
+    per_slot_kv: bool = False,   # paged path: each slot streams only its
+                                 # own live KV blocks (see _make_kernel_paged)
 ):
     """One full decode step over all layers (see module docstring).
 
@@ -570,19 +727,30 @@ def decode_step_fused(
     offset = LEVEL_OFFSET[qkv.qtype] if packed else 0
     five_bit = packed and qkv.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
     W = min(window, S)
-    KVB = kv_block or _kv_block(W)
+    KVB = kv_block or (_kv_block_paged(W) if per_slot_kv else _kv_block(W))
     if W % KVB != 0:
         raise ValueError(f"window {W} not divisible by kv_block {KVB}")
     nW = W // KVB
 
-    def const(shape):
-        return pl.BlockSpec(shape, lambda l, j: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+    if per_slot_kv:
+        # index maps gain the scalar-prefetch arg (per-slot block counts)
+        def const(shape):
+            return pl.BlockSpec(shape, lambda l, b, j, nb: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
 
-    def per_layer(shape):
-        return pl.BlockSpec((1,) + shape,
-                            lambda l, j: (l,) + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+        def per_layer(shape):
+            return pl.BlockSpec((1,) + shape,
+                                lambda l, b, j, nb: (l,) + (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+    else:
+        def const(shape):
+            return pl.BlockSpec(shape, lambda l, j: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        def per_layer(shape):
+            return pl.BlockSpec((1,) + shape,
+                                lambda l, j: (l,) + (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
 
     def as_rows(a):
         # per-layer vectors (L, d) -> (L, 1, d): TPU block shapes must have
@@ -590,14 +758,18 @@ def decode_step_fused(
         return jnp.asarray(a).reshape(a.shape[0], 1, a.shape[-1])
 
     names = ["past", "x0", "ln0w", "ln0b", "ln1w", "ln1b"]
-    past_row = jnp.broadcast_to(
-        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,)).reshape(1, B)
+    past_vec = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
+    past_row = past_vec.reshape(1, B)
+    past_spec = (pl.BlockSpec((1, B), lambda l, b, j, nb: (0, 0),
+                              memory_space=pltpu.SMEM) if per_slot_kv else
+                 pl.BlockSpec((1, B), lambda l, j: (0, 0),
+                              memory_space=pltpu.SMEM))
     args = [past_row,
             x0.astype(jnp.float32),
             as_rows(layers["ln0"]["w"]), as_rows(layers["ln0"]["b"]),
             as_rows(layers["ln1"]["w"]), as_rows(layers["ln1"]["b"])]
-    in_specs = [pl.BlockSpec((1, B), lambda l, j: (0, 0),
-                             memory_space=pltpu.SMEM),
+    in_specs = [past_spec,
                 const((B, D)),
                 per_layer((1, D)), per_layer((1, D)),
                 per_layer((1, D)), per_layer((1, D))]
@@ -619,26 +791,51 @@ def decode_step_fused(
 
     names += ["kcache", "vcache"]
     args += [k_cache, v_cache]
-    kv_spec = pl.BlockSpec((1, B, KVB, D), lambda l, j: (l, 0, j, 0),
-                           memory_space=pltpu.VMEM)
+    if per_slot_kv:
+        # slot b's block j, clamped to the slot's live block count: beyond
+        # it the index repeats and Pallas elides the HBM->VMEM copy
+        kv_spec = pl.BlockSpec(
+            (1, 1, KVB, D),
+            lambda l, b, j, nb: (l, b, jnp.minimum(j, nb[b] - 1), 0),
+            memory_space=pltpu.VMEM)
+    else:
+        kv_spec = pl.BlockSpec((1, B, KVB, D), lambda l, j: (l, 0, j, 0),
+                               memory_space=pltpu.VMEM)
     in_specs += [kv_spec, kv_spec]
     if kv_quant:
         names += ["kcache_s", "vcache_s"]
         args += [k_scales, v_scales]
-        s_spec = pl.BlockSpec((1, B, 1, KVB), lambda l, j: (l, 0, 0, j),
-                              memory_space=pltpu.VMEM)
+        if per_slot_kv:
+            s_spec = pl.BlockSpec(
+                (1, 1, 1, KVB),
+                lambda l, b, j, nb: (l, b, 0, jnp.minimum(j, nb[b] - 1)),
+                memory_space=pltpu.VMEM)
+        else:
+            s_spec = pl.BlockSpec((1, B, 1, KVB), lambda l, j: (l, 0, 0, j),
+                                  memory_space=pltpu.VMEM)
         in_specs += [s_spec, s_spec]
 
     # int8-KV mode: the kernel's new K/V rows leave in f32 so the caller's
     # row quantization sees full precision
     cache_dtype = jnp.float32 if kv_quant else k_cache.dtype
-    row_spec = pl.BlockSpec((1, B, D), lambda l, j: (l, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_specs = [
-        pl.BlockSpec((B, D), lambda l, j: (0, 0), memory_space=pltpu.VMEM),
-        row_spec,
-        row_spec,
-    ]
+    if per_slot_kv:
+        row_spec = pl.BlockSpec((1, B, D), lambda l, b, j, nb: (l, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((B, D), lambda l, b, j, nb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ]
+    else:
+        row_spec = pl.BlockSpec((1, B, D), lambda l, j: (l, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((B, D), lambda l, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ]
     out_shape = [
         jax.ShapeDtypeStruct((B, D), jnp.float32),
         jax.ShapeDtypeStruct((L, B, D), cache_dtype),
@@ -655,7 +852,12 @@ def decode_step_fused(
         pltpu.VMEM((B * H, D), jnp.float32),   # accsc — running P@V
     ]
 
-    if B == 1:
+    if per_slot_kv:
+        kernel = _make_kernel_paged(
+            names, B=B, D=D, H=H, KVB=KVB, eps=ln_eps, offset=offset,
+            packed=packed, five_bit=five_bit, has_mins=has_mins,
+            kv_quant=kv_quant)
+    elif B == 1:
         kernel = _make_kernel(names, D=D, H=H, KVB=KVB, eps=ln_eps,
                               offset=offset, packed=packed,
                               five_bit=five_bit, has_mins=has_mins,
@@ -678,6 +880,29 @@ def decode_step_fused(
         bytes_accessed=wbytes + kv_bytes,
         transcendentals=L * B * (H * W + F),
     )
+
+    if per_slot_kv:
+        # live block count per slot: ceil(past / KVB), >= 1 (the current
+        # token is handled in-kernel; cache reads cover idx < past only)
+        nblocks = jnp.clip((past_vec + KVB - 1) // KVB, 1, nW).astype(
+            jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B, nW),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        x_out, k_rows, v_rows = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(nblocks, *args)
+        return x_out, k_rows, v_rows
 
     x_out, k_rows, v_rows = pl.pallas_call(
         kernel,

@@ -85,6 +85,7 @@ class BatchedEngine:
         pipeline: int = 2,
         mesh=None,
         kv_quant: bool = False,
+        paged_kv: Optional[bool] = None,
     ):
         self.config = config
         self.B = max_batch
@@ -134,6 +135,16 @@ class BatchedEngine:
             and cache_dtype in (None, jnp.bfloat16, jnp.int8)
             and supports_layers(params.get("layers", {}), jnp.bfloat16,
                                 batch=self.B, n_new=1))
+        # Paged (per-slot) KV reads in the lockstep megakernel: each slot
+        # streams only its own live KV blocks instead of the batch-wide
+        # window (pallas_decode._make_kernel_paged). Opt-in: the DMA-elision
+        # savings are real (ragged B=8/W=512 saves ~0.4 ms/step of KV
+        # traffic) but the (L, B, nW) grid's per-step overhead currently
+        # outweighs them (tools/bench/bench_paged_kernel.py) — default OFF
+        # until the manual-DMA variant lands.
+        if paged_kv is None:
+            paged_kv = False
+        self._paged_kv = bool(paged_kv) and self._fused_decode
         if cache_dtype is None:
             cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
         self.cache_dtype = cache_dtype
@@ -194,7 +205,7 @@ class BatchedEngine:
                 logits, cache = forward_fused_decode(
                     params, toks, cache, lengths, self.config,
                     compute_dtype=self.compute_dtype, kv_window=kv_window,
-                    interpret=self._interpret)
+                    interpret=self._interpret, per_slot_kv=self._paged_kv)
             else:
                 logits, cache = self._fwd(
                     params, toks, cache, lengths, self.config,

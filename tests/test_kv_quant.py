@@ -153,6 +153,34 @@ def test_fused_decode_int8_multiblock_kv():
     np.testing.assert_allclose(outs[8], outs[None], rtol=1e-3, atol=1e-3)
 
 
+def test_fused_decode_int8_paged_matches_lockstep():
+    """int8-KV through the paged (per-slot KV) kernel == the lockstep
+    batched kernel, ragged positions over multiple blocks."""
+    from biogpt_tpu.runtime.cache import update_layer
+
+    sd = make_state_dict(CFG, seed=12)
+    params = _pack_matmul_weights(
+        params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_0))
+    rng = np.random.RandomState(13)
+    B = 3
+    past = jnp.asarray([4, 11, 7], jnp.int32)
+    cache = init_cache(CFG, batch=B, max_len=CFG.n_positions, dtype=jnp.int8)
+    for layer in range(CFG.n_layer):
+        cache = update_layer(
+            cache, layer,
+            jnp.asarray(rng.randn(B, 16, CFG.d_model), jnp.float32) * 0.3,
+            jnp.asarray(rng.randn(B, 16, CFG.d_model), jnp.float32) * 0.3,
+            jnp.int32(0))
+    toks = jnp.asarray(rng.randint(3, CFG.n_vocab, size=(B, 1)), jnp.int32)
+    outs = {}
+    for paged in (False, True):
+        lf, _ = forward_fused_decode(
+            params, toks, cache, past, CFG, compute_dtype=jnp.bfloat16,
+            kv_window=16, interpret=True, kv_block=8, per_slot_kv=paged)
+        outs[paged] = np.asarray(lf)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-3, atol=1e-3)
+
+
 def test_engine_kv_quant_generates(params_f32):
     """Engine(kv_quant=True) runs end to end and tracks the fp16-cache
     engine closely (greedy tokens on a tiny model)."""

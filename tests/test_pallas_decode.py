@@ -101,7 +101,7 @@ def test_fused_decode_blockwise_kv_vs_oracle():
 
 
 def _batched_step_pair(qtype, past_list, window, n_steps=3, seed=0,
-                       kv_block=None):
+                       kv_block=None, per_slot_kv=False):
     """Run fused-vs-oracle batched decode steps over a shared random cache
     with per-slot positions (the serving shape), feeding both sides the
     ORACLE's greedy tokens."""
@@ -127,7 +127,7 @@ def _batched_step_pair(qtype, past_list, window, n_steps=3, seed=0,
             kv_window=window)
         logits_f, cache_f = forward_fused_decode(
             params, t, cache_f, p, CFG, kv_window=window, interpret=True,
-            kv_block=kv_block)
+            kv_block=kv_block, per_slot_kv=per_slot_kv)
         yield np.asarray(logits_o), np.asarray(logits_f), cache_o, cache_f
         toks = np.asarray(logits_o).argmax(-1)[:, None].astype(np.int32)
         past = past + 1
@@ -170,6 +170,62 @@ def test_fused_decode_batched_multiblock_kv():
             n_steps=2, kv_block=8):
         assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
         np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+
+
+def test_fused_decode_paged_vs_oracle():
+    """Per-slot KV ("paged") batched kernel: ragged positions across
+    multiple KV blocks, each slot reading only its own live blocks."""
+    for logits_o, logits_f, cache_o, cache_f in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_0, past_list=[3, 14, 1, 9], window=16,
+            kv_block=8, per_slot_kv=True):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+        np.testing.assert_allclose(
+            np.asarray(cache_f.k, np.float32),
+            np.asarray(cache_o.k, np.float32), rtol=2e-2, atol=0.1)
+
+
+def test_fused_decode_paged_matches_lockstep():
+    """Paged and lockstep kernels compute the identical step (the paged
+    path only changes WHICH cache blocks stream, never the math)."""
+    runs = {}
+    for paged in (False, True):
+        outs = [logits_f for _, logits_f, *_ in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_0, past_list=[2, 13, 7], window=16,
+            kv_block=8, n_steps=3, per_slot_kv=paged)]
+        runs[paged] = np.stack(outs)
+    np.testing.assert_allclose(runs[True], runs[False], rtol=1e-3, atol=1e-3)
+
+
+def test_fused_decode_paged_mins_format():
+    for logits_o, logits_f, *_ in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_1, past_list=[2, 9], window=16, n_steps=2,
+            kv_block=8, per_slot_kv=True):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+
+
+def test_fused_decode_paged_single_slot():
+    """B=1 through the paged kernel (BH == H degenerate case)."""
+    params = _packed_params(codecs.GGML_TYPE_Q4_0)
+    import jax
+
+    cache = init_cache(CFG, batch=1, max_len=CFG.n_positions,
+                       dtype=jnp.bfloat16)
+    rng = np.random.RandomState(3)
+    fill = rng.randn(*cache.k.shape).astype(np.float32) * 0.3
+    cache = cache._replace(k=jnp.asarray(fill, jnp.bfloat16),
+                           v=jnp.asarray(fill * 0.5, jnp.bfloat16))
+    tok = jnp.asarray([[5]], jnp.int32)
+    logits_o, _ = forward(params, tok, cache, jnp.int32(9), CFG,
+                          compute_dtype=jnp.bfloat16, causal=True,
+                          logits_mode="last", allow_pallas=False,
+                          kv_window=16)
+    logits_f, _ = forward_fused_decode(params, tok, cache, jnp.int32(9), CFG,
+                                       kv_window=16, interpret=True,
+                                       kv_block=8, per_slot_kv=True)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_o),
+                               rtol=5e-2, atol=0.35)
 
 
 def test_supports_layers():
