@@ -506,15 +506,19 @@ def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
                        five_bit, has_mins, kv_quant=False):
     """Per-slot-KV ("paged") variant of :func:`_make_kernel_batched`.
 
-    Grid is (L, B, nW): step (l, b, j) reads ONLY slot b's KV block j, and
-    the KV BlockSpec clamps j to the slot's live block count (a scalar-
-    prefetched vector) — Pallas elides the HBM->VMEM copy when consecutive
-    grid steps map to the same block, so a slot at position p streams
-    ceil(p/KVB) blocks instead of the batch-wide window. At B=8 with mixed
-    lengths this cuts the dominant byte stream of lockstep decode (KV is
-    ~2.3x the packed-weight bytes at S=512) roughly in half.
+    Grid is (L, B): step (l, b) runs slot b's WHOLE attention as an
+    in-kernel ``fori_loop`` over the slot's live block count (a scalar-
+    prefetched vector), manually double-buffering each (KVB, D) K/V block
+    HBM->VMEM with ``pltpu.make_async_copy``. A slot at position p streams
+    ceil(p/KVB) blocks instead of the batch-wide window, so ragged batches
+    skip real fractions of the dominant byte stream of lockstep decode (KV
+    is ~2.3x the packed-weight bytes at S=512). An earlier (L, B, nW)-grid
+    formulation achieved the same elision through clamped BlockSpec index
+    maps but spent ~1.2 us of grid-step overhead per block step — more
+    than it saved; the in-kernel loop makes a block cost a loop iteration
+    instead of a grid step.
 
-    The per-(b, j) compute runs at full (B*H)-row width with non-slot rows
+    The per-block compute runs at full (B*H)-row width with non-slot rows
     masked to a no-op (alpha=1, p=0): an (H,)-row dot and a (B*H,)-row dot
     cost the same MXU passes (row granularity is 128), and masking avoids
     dynamically slicing the softmax-state scratch at traced offsets.
@@ -527,12 +531,11 @@ def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
         r = dict(zip(names, refs))
         n_in = len(names)
         xout_ref, krow_ref, vrow_ref = refs[n_in:n_in + 3]
-        xres, qbd, kcur, vcur, msc, lsc, accsc = refs[n_in + 3:]
+        (xres, qbd, kcur, vcur, msc, lsc, accsc,
+         kbuf, vbuf, ksem, vsem) = refs[n_in + 3:]
 
         lyr = pl.program_id(0)
         b = pl.program_id(1)
-        j = pl.program_id(2)
-        nW = pl.num_programs(2)
 
         def mn(name):
             return r[name + "_mn"] if has_mins else None
@@ -548,7 +551,7 @@ def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
         rep = (rep_c == rep_r).astype(jnp.float32)        # (BH, B) slot-rep
 
         # ---- layer entry: LN0 + fused qkv projection for ALL slots
-        @pl.when((b == 0) & (j == 0))
+        @pl.when(b == 0)
         def _start_layer():
             @pl.when(lyr == 0)
             def _():
@@ -572,11 +575,40 @@ def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
             lsc[:] = jnp.zeros_like(lsc)
             accsc[:] = jnp.zeros_like(accsc)
 
-        # ---- slot b's KV block j (skipped entirely past the slot's length)
-        @pl.when(j < nb_ref[b])
-        def _block():
-            kblk = r["kcache"][0, 0]                       # (KVB, D)
-            vblk = r["vcache"][0, 0]
+        # ---- slot b's live KV blocks: double-buffered manual DMA loop
+        nb = nb_ref[b]
+        past_b = r["past"][0, b]
+
+        def cp_k(j, slot):
+            return pltpu.make_async_copy(
+                r["kcache"].at[lyr, b, pl.ds(j * KVB, KVB), :],
+                kbuf.at[slot], ksem.at[slot])
+
+        def cp_v(j, slot):
+            return pltpu.make_async_copy(
+                r["vcache"].at[lyr, b, pl.ds(j * KVB, KVB), :],
+                vbuf.at[slot], vsem.at[slot])
+
+        cp_k(0, 0).start()
+        cp_v(0, 0).start()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 0) // H
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 1)
+
+        def body(j, carry):
+            m_prev, l_prev, a_prev = carry
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < nb)
+            def _():
+                nslot = jax.lax.rem(j + 1, 2)
+                cp_k(j + 1, nslot).start()
+                cp_v(j + 1, nslot).start()
+
+            cp_k(j, slot).wait()
+            cp_v(j, slot).wait()
+            kblk = kbuf[slot]
+            vblk = vbuf[slot]
             if kv_quant:
                 kblk = kblk.astype(jnp.bfloat16)
                 vblk = vblk.astype(jnp.bfloat16)
@@ -584,27 +616,35 @@ def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
                 qbd[:], kblk, _NT,
                 preferred_element_type=jnp.float32)        # (BH, KVB)
             if kv_quant:
-                scores = scores * r["kcache_s"][0, 0]      # (1, KVB) bcast
+                ksl = jax.lax.dynamic_slice_in_dim(
+                    r["kcache_s"][0, 0, 0], j * KVB, KVB)
+                scores = scores * ksl[None, :]
             # rows of other slots are masked to a state no-op: their masked
             # scores are -1e30, so m_new == m_prev, alpha == 1, p == 0
-            rows = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 0) // H
-            idx = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 1) + j * KVB
-            valid = (rows == b) & (idx < r["past"][0, b])
+            valid = (rows == b) & (cols + j * KVB < past_b)
             masked = jnp.where(valid, scores, -1e30)
-            m_prev = msc[:]
             m_new = jnp.maximum(m_prev,
                                 jnp.max(masked, axis=1, keepdims=True))
             p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
             alpha = jnp.exp(m_prev - m_new)
-            lsc[:] = lsc[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            p_v = p * r["vcache_s"][0, 0] if kv_quant else p
-            accsc[:] = accsc[:] * alpha + jnp.dot(
-                p_v.astype(jnp.bfloat16), vblk,
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if kv_quant:
+                vsl = jax.lax.dynamic_slice_in_dim(
+                    r["vcache_s"][0, 0, 0], j * KVB, KVB)
+                p = p * vsl[None, :]
+            a_new = a_prev * alpha + jnp.dot(
+                p.astype(jnp.bfloat16), vblk,
                 preferred_element_type=jnp.float32)
-            msc[:] = m_new
+            return m_new, l_new, a_new
+
+        m_fin, l_fin, a_fin = jax.lax.fori_loop(
+            0, nb, body, (msc[:], lsc[:], accsc[:]))
+        msc[:] = m_fin
+        lsc[:] = l_fin
+        accsc[:] = a_fin
 
         # ---- layer exit: current token, o-proj, FFN, residuals
-        @pl.when((b == B - 1) & (j == nW - 1))
+        @pl.when(b == B - 1)
         def _finish_layer():
             kcur_rep = jnp.dot(rep, kcur[:],
                                preferred_element_type=jnp.float32)
@@ -733,14 +773,15 @@ def decode_step_fused(
     nW = W // KVB
 
     if per_slot_kv:
-        # index maps gain the scalar-prefetch arg (per-slot block counts)
+        # index maps gain the scalar-prefetch arg (per-slot block counts);
+        # the grid is (L, B) — the block sweep is an in-kernel DMA loop
         def const(shape):
-            return pl.BlockSpec(shape, lambda l, b, j, nb: (0,) * len(shape),
+            return pl.BlockSpec(shape, lambda l, b, nb: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         def per_layer(shape):
             return pl.BlockSpec((1,) + shape,
-                                lambda l, b, j, nb: (l,) + (0,) * len(shape),
+                                lambda l, b, nb: (l,) + (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
     else:
         def const(shape):
@@ -761,7 +802,7 @@ def decode_step_fused(
     past_vec = jnp.broadcast_to(
         jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
     past_row = past_vec.reshape(1, B)
-    past_spec = (pl.BlockSpec((1, B), lambda l, b, j, nb: (0, 0),
+    past_spec = (pl.BlockSpec((1, B), lambda l, b, nb: (0, 0),
                               memory_space=pltpu.SMEM) if per_slot_kv else
                  pl.BlockSpec((1, B), lambda l, j: (0, 0),
                               memory_space=pltpu.SMEM))
@@ -792,12 +833,9 @@ def decode_step_fused(
     names += ["kcache", "vcache"]
     args += [k_cache, v_cache]
     if per_slot_kv:
-        # slot b's block j, clamped to the slot's live block count: beyond
-        # it the index repeats and Pallas elides the HBM->VMEM copy
-        kv_spec = pl.BlockSpec(
-            (1, 1, KVB, D),
-            lambda l, b, j, nb: (l, b, jnp.minimum(j, nb[b] - 1), 0),
-            memory_space=pltpu.VMEM)
+        # the kernel DMAs (KVB, D) blocks out of the full HBM-resident
+        # cache itself — only the blocks below each slot's live count move
+        kv_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     else:
         kv_spec = pl.BlockSpec((1, B, KVB, D), lambda l, j: (l, 0, j, 0),
                                memory_space=pltpu.VMEM)
@@ -806,9 +844,11 @@ def decode_step_fused(
         names += ["kcache_s", "vcache_s"]
         args += [k_scales, v_scales]
         if per_slot_kv:
+            # the whole per-slot scale row (S f32 = 4 KB at n_positions):
+            # the kernel slices the live KVB pieces out of VMEM
             s_spec = pl.BlockSpec(
-                (1, 1, 1, KVB),
-                lambda l, b, j, nb: (l, b, 0, jnp.minimum(j, nb[b] - 1)),
+                (1, 1, 1, k_scales.shape[-1]),
+                lambda l, b, nb: (l, b, 0, 0),
                 memory_space=pltpu.VMEM)
         else:
             s_spec = pl.BlockSpec((1, B, 1, KVB), lambda l, j: (l, 0, 0, j),
@@ -819,10 +859,10 @@ def decode_step_fused(
     # row quantization sees full precision
     cache_dtype = jnp.float32 if kv_quant else k_cache.dtype
     if per_slot_kv:
-        row_spec = pl.BlockSpec((1, B, D), lambda l, b, j, nb: (l, 0, 0),
+        row_spec = pl.BlockSpec((1, B, D), lambda l, b, nb: (l, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_specs = [
-            pl.BlockSpec((B, D), lambda l, b, j, nb: (0, 0),
+            pl.BlockSpec((B, D), lambda l, b, nb: (0, 0),
                          memory_space=pltpu.VMEM),
             row_spec,
             row_spec,
@@ -886,9 +926,16 @@ def decode_step_fused(
         # token is handled in-kernel; cache reads cover idx < past only)
         nblocks = jnp.clip((past_vec + KVB - 1) // KVB, 1, nW).astype(
             jnp.int32)
+        kv_buf_dtype = k_cache.dtype
+        scratch = scratch + [
+            pltpu.VMEM((2, KVB, D), kv_buf_dtype),   # kbuf (double-buffered)
+            pltpu.VMEM((2, KVB, D), kv_buf_dtype),   # vbuf
+            pltpu.SemaphoreType.DMA((2,)),           # ksem
+            pltpu.SemaphoreType.DMA((2,)),           # vsem
+        ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(L, B, nW),
+            grid=(L, B),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
