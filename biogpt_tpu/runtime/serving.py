@@ -137,11 +137,13 @@ class BatchedEngine:
                                 batch=self.B, n_new=1))
         # Paged (per-slot) KV reads in the lockstep megakernel: each slot
         # streams only its own live KV blocks instead of the batch-wide
-        # window (pallas_decode._make_kernel_paged). Opt-in: the DMA-elision
-        # savings are real (ragged B=8/W=512 saves ~0.4 ms/step of KV
-        # traffic) but the (L, B, nW) grid's per-step overhead currently
-        # outweighs them (tools/bench/bench_paged_kernel.py) — default OFF
-        # until the manual-DMA variant lands.
+        # window (pallas_decode._make_kernel_paged). Opt-in: the elision
+        # savings are real and scale with raggedness, but per-block
+        # sequencing (~1 us/block in both the grid and manual-DMA
+        # formulations) exceeds the bandwidth they can save under BioGPT's
+        # 1024-position cap (measurements: tools/bench/
+        # bench_paged_kernel.py, RESULTS.md) — a feature for longer
+        # contexts than this model family has.
         if paged_kv is None:
             paged_kv = False
         self._paged_kv = bool(paged_kv) and self._fused_decode
@@ -369,9 +371,9 @@ class BatchedEngine:
         to ``chunk`` per request, ``pipeline`` chunks behind the device —
         streaming with bounded latency, not per-step host sync).
 
-        Two mechanisms keep the host off the critical path (a device->host
-        fetch costs a ~26-55 ms RPC on this runtime, ~2-4x a 16-step
-        chunk's device compute):
+        Three mechanisms keep the host off the critical path (a
+        device->host fetch costs a ~26-55 ms sync RPC on this runtime,
+        ~2-4x a 16-step chunk's device compute):
 
         1. SCHEDULING-BASED REFILL — a slot is freed as soon as the host
            has *scheduled* enough tokens for its request (first token +
@@ -379,11 +381,23 @@ class BatchedEngine:
            remaining in-flight tokens route to the old request via the
            bindings snapshotted at each launch, so refills have zero drain
            latency. Only EOS-based early exit (and nothing else) depends
-           on drained token values, and acts ``pipeline`` chunks late.
-        2. PIPELINED DRAINS — each chunk's token block is fetched with a
-           launch-time ``copy_to_host_async`` and only consumed
-           ``pipeline`` chunks later, by which point the bytes are already
-           host-side and the drain is nearly free.
+           on drained token values, and acts a few chunks late.
+        2. THREADED DRAINS — each chunk's token block is fetched by a
+           small fetcher POOL (the fetch RPC releases the GIL and
+           parallelizes ~linearly across threads; one thread still
+           serializes ~35-70 ms RPCs) and emitted strictly in launch order
+           through a reorder buffer. Profiling showed inline drains capped
+           aggregate serving at almost exactly chunk_tokens/RPC
+           (~3,600 tok/s at B=8, chunk=16) while the device needed only
+           ~10 ms/chunk. ``on_token``/``on_complete`` callbacks fire from
+           the fetcher threads.
+        3. ASYNC COPIES — each fetch is additionally started with a
+           launch-time ``copy_to_host_async`` so the drain thread's RPC
+           finds the bytes already in flight.
+
+        ``pipeline`` bounds how many undrained chunks may be outstanding
+        (backpressure: the scheduler blocks when the drain thread falls
+        more than ~2x that far behind).
         """
         gen = gen or GenerationParams(temp=0.0)
         seed = gen.seed if gen.seed >= 0 else int(time.time())
@@ -408,6 +422,14 @@ class BatchedEngine:
         capped: Dict[int, int] = {}
         cache = self.new_cache()
 
+        # host-side request state is shared between this scheduling thread
+        # and the drain thread; the lock covers every mutation and every
+        # multi-step read of results/reqs_by_id/capped
+        import queue as _queue
+        import threading
+
+        state_lock = threading.Lock()
+
         def emit_token(rid: int, tid: int) -> None:
             results[rid].ids.append(tid)
             if on_token is not None:
@@ -421,26 +443,107 @@ class BatchedEngine:
             their results are also EVICTED from the returned dict — a
             long-lived serve() otherwise accumulates every past request —
             so with ``more`` + ``on_complete`` the callback is the one
-            delivery channel.
+            delivery channel. Runs on the drain thread; callbacks fire
+            outside the state lock.
             """
             if on_complete is None:
                 return
-            done_ids = [rid for rid, req in reqs_by_id.items()
-                        if req_done(req)]
-            for rid in done_ids:
-                del reqs_by_id[rid]
-                on_complete(rid, results[rid])
-                if more is not None:
-                    results.pop(rid)
-                    capped.pop(rid, None)
+            with state_lock:
+                done_ids = [rid for rid, req in reqs_by_id.items()
+                            if req_done(req)]
+                done = []
+                for rid in done_ids:
+                    del reqs_by_id[rid]
+                    done.append((rid, results[rid]))
+                    if more is not None:
+                        results.pop(rid)
+                        capped.pop(rid, None)
+            for rid, res in done:
+                on_complete(rid, res)
 
         # host-side slot table
         slot_req: List[Optional[Request]] = [None] * self.B
         lengths_host = [0] * self.B   # device position mirror (prompt+decoded)
         sched_new = [0] * self.B      # tokens SCHEDULED for the slot's request
         fresh_slots: List[int] = []   # refilled since the last chunk launch
-        # in-flight chunks: (fetch array, chunk bindings, first-token bindings)
-        pending: List[tuple] = []
+
+        # ---- drain fetcher pool: the device->host fetch is a ~35-70 ms
+        # sync RPC on this runtime but PARALLELIZES almost perfectly across
+        # threads (4 threads measured ~8.7x one), and each fetch releases
+        # the GIL — so a small pool keeps the RPC latency entirely off the
+        # scheduling thread AND off each other's critical path. Fetched
+        # chunks are emitted strictly in launch order through a reorder
+        # buffer (token order per request must be preserved). maxsize gives
+        # backpressure: the scheduler stalls only when the fetchers fall
+        # well behind.
+        # pool/queue sizing: one fetch RPC costs ~70 ms of pure latency on
+        # this relay regardless of payload, and a chunk computes in ~10 ms,
+        # so the pool must hold several RPCs in flight per chunk-time and
+        # the queue must not stall the scheduler while they land (measured:
+        # 4 fetchers + maxsize 5 left the device idling on backpressure)
+        n_fetchers = 2 * self.pipeline + 4
+        drain_q: "_queue.Queue" = _queue.Queue(maxsize=2 * n_fetchers)
+        drain_errors: List[BaseException] = []
+        emit_cv = threading.Condition()
+        done_map: Dict[int, tuple] = {}   # seq -> (vals, bound, fbound)
+        next_emit = [0]                   # next seq to emit (under emit_cv)
+        launched = [0]                    # chunks handed to the pool
+
+        def emit_chunk(vals, bound, fbound) -> None:
+            """Emit one fetched chunk against the bindings snapshotted at
+            its launch. ``req_done`` re-checks per token so n_predict/EOS
+            cut emission mid-chunk."""
+            firsts = vals[:self.B]
+            block = vals[self.B:].reshape(self.chunk, self.B)
+            with state_lock:
+                for b in range(self.B):
+                    if fbound[b] is not None and not req_done(fbound[b]):
+                        emit_token(fbound[b].request_id, int(firsts[b]))
+                for step_row in block:
+                    for b in range(self.B):
+                        req = bound[b]
+                        if req is not None and not req_done(req):
+                            emit_token(req.request_id, int(step_row[b]))
+
+        def drain_worker() -> None:
+            while True:
+                item = drain_q.get()
+                try:
+                    if item is None:
+                        return
+                    seq, fetch, bound, fbound = item
+                    # np.asarray blocks (GIL released): a full RPC unless
+                    # the launch-time copy_to_host_async already landed
+                    vals = np.asarray(fetch)
+                    with emit_cv:
+                        done_map[seq] = (vals, bound, fbound)
+                        while next_emit[0] in done_map:
+                            emit_chunk(*done_map.pop(next_emit[0]))
+                            next_emit[0] += 1
+                        emit_cv.notify_all()
+                    notify()
+                except BaseException as e:  # surfaced by the scheduler loop
+                    drain_errors.append(e)
+                    with emit_cv:
+                        emit_cv.notify_all()
+                finally:
+                    drain_q.task_done()
+
+        drain_threads = [
+            threading.Thread(target=drain_worker, name=f"biogpt-drain-{i}",
+                             daemon=True)
+            for i in range(n_fetchers)]
+        for t in drain_threads:
+            t.start()
+
+        def flush_drains() -> None:
+            """Wait until every launched chunk has drained AND emitted (EOS
+            bookkeeping and final tokens depend on it); re-raise errors."""
+            with emit_cv:
+                while next_emit[0] < launched[0] and not drain_errors:
+                    emit_cv.wait(timeout=0.1)
+            if drain_errors:
+                raise drain_errors[0]
 
         toks = jnp.zeros((self.B, 1), jnp.int32)
         lengths = jnp.zeros((self.B,), jnp.int32)
@@ -499,15 +602,16 @@ class BatchedEngine:
             nonlocal cache, toks, lengths, rng, first_buf
             nonlocal temps, top_ps, top_ks
             pairs = []
-            for slot in free_slots:
-                if not queue:
-                    break
-                req = queue.pop(0)
-                results[req.request_id] = RequestResult(
-                    request_id=req.request_id, ids=list(req.prompt_ids),
-                    prompt_len=len(req.prompt_ids))
-                reqs_by_id[req.request_id] = req
-                pairs.append((slot, req))
+            with state_lock:   # notify() iterates/evicts these dicts
+                for slot in free_slots:
+                    if not queue:
+                        break
+                    req = queue.pop(0)
+                    results[req.request_id] = RequestResult(
+                        request_id=req.request_id, ids=list(req.prompt_ids),
+                        prompt_len=len(req.prompt_ids))
+                    reqs_by_id[req.request_id] = req
+                    pairs.append((slot, req))
             if not pairs:
                 return
             # group by padded bucket so each group is one forward
@@ -528,110 +632,109 @@ class BatchedEngine:
                     sched_new[slot] = 1   # the prefill-sampled first token
                     fresh_slots.append(slot)
 
-        def drain(p) -> None:
-            """Fetch one chunk's token block and emit against the bindings
-            snapshotted at its launch. ``req_done`` re-checks per token so
-            n_predict/EOS cut emission mid-chunk."""
-            if p is None:
-                return
-            fetch, bound, fbound = p
-            # np.asarray alone: jax.block_until_ready is a ~35-55 ms sync
-            # RPC on this runtime, while the copy_to_host_async issued at
-            # launch has usually landed the bytes host-side already
-            vals = np.asarray(fetch)
-            firsts = vals[:self.B]
-            block = vals[self.B:].reshape(self.chunk, self.B)
-            for b in range(self.B):
-                if fbound[b] is not None and not req_done(fbound[b]):
-                    emit_token(fbound[b].request_id, int(firsts[b]))
-            for step_row in block:
+        try:
+            drained_once = False
+            while True:
+                if drain_errors:
+                    raise drain_errors[0]
+                if more is not None:
+                    queue.extend(more())
+                # a slot at the KV-capacity rule schedules no further chunks:
+                # cap its request at the already-scheduled count so req_done /
+                # notify treat it as complete once those tokens drain
+                with state_lock:
+                    for b in range(self.B):
+                        req = slot_req[b]
+                        if (req is not None
+                                and lengths_host[b] + self.chunk > self.max_seq
+                                and sched_new[b] < req.n_predict):
+                            capped.setdefault(req.request_id, sched_new[b])
+                # refill free slots (one batched prefill per bucket); freeing is
+                # scheduling-based, so n_predict-terminated requests refill with
+                # ZERO drain latency (only EOS early-exit lags)
+                free = [b for b in range(self.B) if queue and slot_free(b)]
+                for b in free:
+                    slot_req[b] = None
+                refill(free)
+
+                if all(slot_free(b) for b in range(self.B)):
+                    if not drained_once:
+                        # all scheduled: wait for the drain thread to land the
+                        # in-flight chunks (their values may reveal EOS for the
+                        # bookkeeping), then re-check once
+                        flush_drains()
+                        drained_once = True
+                        continue
+                    drained_once = False
+                    if fresh_slots:
+                        # prompt filled the cache to within one chunk: no decode
+                        # chunk will run, but the prefill-sampled first token is
+                        # still owed
+                        vals = np.asarray(first_buf)
+                        with state_lock:
+                            for b in fresh_slots:
+                                if not req_done(slot_req[b]):
+                                    emit_token(slot_req[b].request_id,
+                                               int(vals[b]))
+                        fresh_slots.clear()
+                        notify()
+                        continue
+                    break
+                drained_once = False
+
+                # decode a chunk in lockstep under ONE scan dispatch (per-step
+                # dispatch + argument binding dominates otherwise); inactive
+                # slots compute garbage that the host simply doesn't emit.
+                # (Over-advanced garbage positions clamp inside
+                # dynamic_update_slice to the slot's own last cache row.)
+                window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
+                             self.max_seq)
+                # live intake always runs the per-request sampler (it handles
+                # greedy rows): flipping the static all_greedy flag when a
+                # sampled request joined a greedy batch would stall EVERY
+                # in-flight request on a 20-40 s remote compile per window
+                greedy_now = all_greedy if more is None else False
+                out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
+                toks, cache, lengths, rng, out_buf = self._step_scan(
+                    self.params, toks, cache, lengths, rng, temps, top_ps,
+                    top_ks, out_buf, n_steps=self.chunk, kv_window=window,
+                    use_fused=self._use_fused(), all_greedy=greedy_now)
+                # ONE array fetches first tokens + the whole chunk block; slots
+                # already free at launch snapshot as unbound so their garbage
+                # lanes can't reach a truncated request
+                fetch = jnp.concatenate([first_buf, out_buf.reshape(-1)])
+                try:
+                    # start the device->host copy NOW (behind this chunk only);
+                    # by drain time next iteration it is already in flight
+                    fetch.copy_to_host_async()
+                except Exception:   # pragma: no cover - backend-dependent
+                    pass
+                bound = [slot_req[b] if not slot_free(b) else None
+                         for b in range(self.B)]
                 for b in range(self.B):
-                    req = bound[b]
-                    if req is not None and not req_done(req):
-                        emit_token(req.request_id, int(step_row[b]))
-
-        while True:
-            if more is not None:
-                queue.extend(more())
-            # a slot at the KV-capacity rule schedules no further chunks:
-            # cap its request at the already-scheduled count so req_done /
-            # notify treat it as complete once those tokens drain
-            for b in range(self.B):
-                req = slot_req[b]
-                if (req is not None
-                        and lengths_host[b] + self.chunk > self.max_seq
-                        and sched_new[b] < req.n_predict):
-                    capped.setdefault(req.request_id, sched_new[b])
-            # refill free slots (one batched prefill per bucket); freeing is
-            # scheduling-based, so n_predict-terminated requests refill with
-            # ZERO drain latency (only EOS early-exit lags)
-            free = [b for b in range(self.B) if queue and slot_free(b)]
-            for b in free:
-                slot_req[b] = None
-            refill(free)
-
-            if all(slot_free(b) for b in range(self.B)):
-                if pending:
-                    drain(pending.pop(0))
-                    notify()
-                    continue   # the drain may reveal EOS for bookkeeping
-                if fresh_slots:
-                    # prompt filled the cache to within one chunk: no decode
-                    # chunk will run, but the prefill-sampled first token is
-                    # still owed
-                    vals = np.asarray(first_buf)
-                    for b in fresh_slots:
-                        if not req_done(slot_req[b]):
-                            emit_token(slot_req[b].request_id, int(vals[b]))
-                    fresh_slots.clear()
-                    notify()
-                    continue
-                break
-
-            # decode a chunk in lockstep under ONE scan dispatch (per-step
-            # dispatch + argument binding dominates otherwise); inactive
-            # slots compute garbage that the host simply doesn't emit.
-            # (Over-advanced garbage positions clamp inside
-            # dynamic_update_slice to the slot's own last cache row.)
-            window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
-                         self.max_seq)
-            # live intake always runs the per-request sampler (it handles
-            # greedy rows): flipping the static all_greedy flag when a
-            # sampled request joined a greedy batch would stall EVERY
-            # in-flight request on a 20-40 s remote compile per window
-            greedy_now = all_greedy if more is None else False
-            out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
-            toks, cache, lengths, rng, out_buf = self._step_scan(
-                self.params, toks, cache, lengths, rng, temps, top_ps,
-                top_ks, out_buf, n_steps=self.chunk, kv_window=window,
-                use_fused=self._use_fused(), all_greedy=greedy_now)
-            # ONE array fetches first tokens + the whole chunk block; slots
-            # already free at launch snapshot as unbound so their garbage
-            # lanes can't reach a truncated request
-            fetch = jnp.concatenate([first_buf, out_buf.reshape(-1)])
-            try:
-                # start the device->host copy NOW (behind this chunk only);
-                # by drain time next iteration it is already in flight
-                fetch.copy_to_host_async()
-            except Exception:   # pragma: no cover - backend-dependent
-                pass
-            bound = [slot_req[b] if not slot_free(b) else None
-                     for b in range(self.B)]
-            for b in range(self.B):
-                if bound[b] is not None:
-                    sched_new[b] += self.chunk
-            # firsts bind separately: a fresh slot whose prompt fills the
-            # cache to within one chunk has no valid chunk lanes but is
-            # still owed its prefill-sampled first token
-            fbound = [slot_req[b] if b in fresh_slots else None
-                      for b in range(self.B)]
-            fresh_slots.clear()
-            pending.append((fetch, bound, fbound))
-            if len(pending) > self.pipeline:
-                drain(pending.pop(0))   # overlaps the chunks still in flight
-                notify()
-            for b in range(self.B):
-                lengths_host[b] += self.chunk
+                    if bound[b] is not None:
+                        sched_new[b] += self.chunk
+                # firsts bind separately: a fresh slot whose prompt fills the
+                # cache to within one chunk has no valid chunk lanes but is
+                # still owed its prefill-sampled first token
+                fbound = [slot_req[b] if b in fresh_slots else None
+                          for b in range(self.B)]
+                fresh_slots.clear()
+                # hand the fetch to the drain pool (blocks only when the
+                # fetchers have fallen 2*pipeline chunks behind)
+                drain_q.put((launched[0], fetch, bound, fbound))
+                launched[0] += 1
+                for b in range(self.B):
+                    lengths_host[b] += self.chunk
+        finally:
+            # always stop the drain pool (a long-lived scheduler
+            # would otherwise leak blocked threads per failure)
+            for _ in drain_threads:
+                drain_q.put(None)
+            for t in drain_threads:
+                t.join()
+        if drain_errors:
+            raise drain_errors[0]
         notify()
         return results
 
