@@ -167,32 +167,71 @@ class BatchedEngine:
         self.allow_pallas = (pack_q4 and not self._interpret
                              and (mesh is None or self._tp))
 
-        static = ("config", "compute_dtype", "causal", "logits_mode",
-                  "allow_pallas")
+        def refill_commit(params, ids, cache, last, src_row, mask, rng,
+                          toks, lengths, first_buf, temps, top_ps, top_ks,
+                          n_temps, n_tps, n_tks, lens_b):
+            """Prefill a refill group AND commit it as ONE program.
 
-        self._prefill_jit = jax.jit(
-            self._fwd, static_argnames=static, donate_argnames=("cache",))
+            Prefill forward on a BUCKET-SIZED temp cache, per-request
+            first-token sampling, slot-row merge into the big cache
+            (prefix rows only), and the per-slot vector scatter — fused
+            into a single compiled program per prompt bucket. The previous
+            4-program shape (prefill / sample / insert / apply) paid fixed
+            relay dispatch latency per program AND its full-size temp
+            cache streamed ~1.2 GB per wave (zero-init + whole-cache
+            gather/select); the bucket-sized cache makes the merge touch
+            only rows [0, padded).
 
-        def insert_slots(big: KVCache, small: KVCache, src_row, mask):
-            """Merge prefilled rows of a batched temp cache into their slots.
-
-            ``src_row`` (B,) int32: for slot s, which row of ``small`` fills
-            it; ``mask`` (B,) bool: whether slot s is refilled at all. A
-            gather + select keeps this ONE compiled program for every refill
-            pattern — per-pattern shapes (the round-1 static-slots design)
-            compile-stormed through the 20-40 s/program remote compiler.
-            Tree-mapped so the plain and int8-quantized cache pytrees both
-            work (the (1, B, 1, 1) mask broadcasts against levels and the
-            (L, B, 1, S) scale planes alike).
+            ``src_row`` (B,) int32: for slot s, which prefill row fills
+            it; ``mask`` (B,) bool: whether slot s is refilled at all —
+            fixed (B,)-shapes keep this one program per bucket for every
+            refill pattern (per-pattern shapes compile-stormed through the
+            20-40 s/program remote compiler).
             """
-            m = mask[None, :, None, None]
-            return jax.tree.map(
-                lambda small_f, big_f: jnp.where(m, small_f[:, src_row],
-                                                 big_f),
-                small, big)
+            padded = ids.shape[1]
+            small = init_cache(self.config, batch=self.B, max_len=padded,
+                               dtype=self.cache_dtype)
+            logits, small = self._fwd(
+                params, ids, small, jnp.int32(0), self.config,
+                compute_dtype=self.compute_dtype, allow_pallas=False,
+                logits_mode="last", last_index=last)
+            rng, sub = jax.random.split(rng)
+            firsts = sample_per_request(sub, logits, n_tks, n_tps, n_temps,
+                                        max_top_k=self.MAX_TOP_K)
+            m_rows = mask[None, :, None, None]
 
-        self._insert_slots = jax.jit(
-            insert_slots, donate_argnames=("big",))
+            def merge_rows(big_f, small_f, axis):
+                # gather each slot's prefill row, select under the mask,
+                # write back over the big buffer's [0, padded) prefix
+                seg = jax.lax.slice_in_dim(big_f, 0, padded, axis=axis)
+                sel_ = jnp.where(m_rows, small_f[:, src_row], seg)
+                return jax.lax.dynamic_update_slice(
+                    big_f, sel_.astype(big_f.dtype),
+                    (jnp.zeros((), jnp.int32),) * big_f.ndim)
+
+            from .cache import QuantKVCache
+            if isinstance(cache, QuantKVCache):
+                cache = QuantKVCache(
+                    k=merge_rows(cache.k, small.k, 2),
+                    v=merge_rows(cache.v, small.v, 2),
+                    ks=merge_rows(cache.ks, small.ks, 3),
+                    vs=merge_rows(cache.vs, small.vs, 3))
+            else:
+                cache = KVCache(k=merge_rows(cache.k, small.k, 2),
+                                v=merge_rows(cache.v, small.v, 2))
+
+            def sel(new, old):
+                return jnp.where(mask, new[src_row], old)
+
+            toks = jnp.where(mask[:, None], firsts[src_row][:, None], toks)
+            return (cache, toks, sel(lens_b, lengths), sel(firsts, first_buf),
+                    sel(n_temps, temps), sel(n_tps, top_ps),
+                    sel(n_tks, top_ks), rng)
+
+        self._refill_jit = jax.jit(
+            refill_commit,
+            donate_argnames=("cache", "toks", "lengths", "first_buf",
+                             "temps", "top_ps", "top_ks"))
 
         def batched_step(params, toks, cache, lengths, rng, temps, top_ps,
                          top_ks, out_buf, out_ix, kv_window, use_fused,
@@ -248,19 +287,6 @@ class BatchedEngine:
                                         "all_greedy"),
             donate_argnames=("cache", "out_buf"))
 
-        def apply_refill(toks, lengths, first_buf, temps, top_ps, top_ks,
-                         firsts, lens_b, n_temps, n_tps, n_tks,
-                         src_row, mask):
-            """Scatter per-slot state for refilled slots (fixed shape: one
-            compiled program for every refill pattern)."""
-            def sel(new, old):
-                return jnp.where(mask, new[src_row], old)
-            toks = jnp.where(mask[:, None], firsts[src_row][:, None], toks)
-            return (toks, sel(lens_b, lengths), sel(firsts, first_buf),
-                    sel(n_temps, temps), sel(n_tps, top_ps),
-                    sel(n_tks, top_ks))
-
-        self._apply_refill = jax.jit(apply_refill)
 
     def _use_fused(self) -> bool:
         """Megakernel gate, evaluated per call (honors set_pallas_mode)."""
@@ -279,17 +305,19 @@ class BatchedEngine:
 
     # ------------------------------------------------------------- prefill
 
-    def _prefill_group(self, pairs, cache: KVCache, rng, gen):
-        """Prefill several (slot, request) pairs as ONE batched forward.
+    def _prefill_group(self, pairs, cache: KVCache, rng, gen, slot_state):
+        """Prefill + commit several (slot, request) pairs as ONE program.
 
         The batch is always padded to B rows and prompts pad to the group's
-        bucket, so serving compiles exactly ONE prefill program per prompt
+        bucket, so serving compiles exactly ONE refill program per prompt
         bucket (the remote compiler costs 20-40 s/program — per-group-size
         shapes compile-stormed). Per-row last_index extracts each prompt's
-        real final logits; dummy rows are masked out of the cache insert.
-        Returns (cache, new_state (B,)-vectors, src_row, mask, lens, rng) —
-        first tokens sampled with each request's own params; new_state is
-        scattered into the per-slot vectors by _apply_refill.
+        real final logits; dummy rows are masked out of the cache merge and
+        the per-slot vector scatter. First tokens are sampled with each
+        request's own params inside the program (_refill_jit).
+
+        ``slot_state`` = (toks, lengths, first_buf, temps, top_ps, top_ks)
+        device vectors; returns (cache, new_slot_state, lens, rng).
         """
         lens = [len(req.prompt_ids) for _, req in pairs]
         n = len(pairs)
@@ -299,32 +327,26 @@ class BatchedEngine:
         for r, (_, req) in enumerate(pairs):
             ids[r, :lens[r]] = req.prompt_ids
             last[r] = lens[r] - 1
-        small = init_cache(self.config, batch=self.B, max_len=self.max_seq,
-                           dtype=self.cache_dtype)
-        logits, small = self._prefill_jit(
-            self.params, jnp.asarray(ids), small, jnp.int32(0), self.config,
-            compute_dtype=self.compute_dtype, allow_pallas=False,
-            logits_mode="last", last_index=jnp.asarray(last))
-        # slot s <- small row src_row[s] where masked
+        # slot s <- prefill row src_row[s] where masked
         src_row = np.zeros((self.B,), dtype=np.int32)
         mask = np.zeros((self.B,), dtype=bool)
         for r, (slot, _) in enumerate(pairs):
             src_row[slot] = r
             mask[slot] = True
-        src_row_d, mask_d = jnp.asarray(src_row), jnp.asarray(mask)
-        cache = self._insert_slots(cache, small, src_row_d, mask_d)
         reqs = [req for _, req in pairs]
         # pad the sampling vectors to B rows (dummy rows sample from dummy
         # logits; never emitted)
-        temps, top_ps, top_ks = self._gen_vectors(
+        n_temps, n_tps, n_tks = self._gen_vectors(
             reqs + [Request(prompt_ids=[0])] * (self.B - n), gen)
-        rng, sub = jax.random.split(rng)
-        firsts = sample_per_request(sub, logits, top_ks, top_ps, temps,
-                                    max_top_k=self.MAX_TOP_K)
         lens_b = np.zeros((self.B,), dtype=np.int32)
         lens_b[:n] = lens
-        new = (firsts, jnp.asarray(lens_b), temps, top_ps, top_ks)
-        return cache, new, src_row_d, mask_d, lens, rng
+        (cache, toks, lengths, first_buf, temps, top_ps, top_ks,
+         rng) = self._refill_jit(
+            self.params, jnp.asarray(ids), cache, jnp.asarray(last),
+            jnp.asarray(src_row), jnp.asarray(mask), rng, *slot_state,
+            n_temps, n_tps, n_tks, jnp.asarray(lens_b))
+        return (cache, (toks, lengths, first_buf, temps, top_ps, top_ks),
+                lens, rng)
 
     @staticmethod
     def _gen_vectors(reqs, gen: GenerationParams):
@@ -620,12 +642,12 @@ class BatchedEngine:
                 b = _bucket(len(req.prompt_ids))
                 by_bucket.setdefault(b, []).append((slot, req))
             for group in by_bucket.values():
-                cache, new, src_row, mask, lens, rng = self._prefill_group(
-                    group, cache, rng, gen)
+                slot_state = (toks, lengths, first_buf, temps, top_ps,
+                              top_ks)
+                cache, slot_state, lens, rng = self._prefill_group(
+                    group, cache, rng, gen, slot_state)
                 (toks, lengths, first_buf, temps, top_ps,
-                 top_ks) = self._apply_refill(
-                    toks, lengths, first_buf, temps, top_ps, top_ks,
-                    *new, src_row, mask)
+                 top_ks) = slot_state
                 for r, (slot, req) in enumerate(group):
                     slot_req[slot] = req
                     lengths_host[slot] = lens[r]

@@ -40,9 +40,7 @@ def wrap(name, fn):
     return inner
 
 be._step_scan = wrap("step_scan", be._step_scan)
-be._prefill_jit = wrap("prefill", be._prefill_jit)
-be._insert_slots = wrap("insert_slots", be._insert_slots)
-be._apply_refill = wrap("apply_refill", be._apply_refill)
+be._refill_jit = wrap("refill_commit", be._refill_jit)
 
 rng = np.random.default_rng(0)
 def make_reqs(n):
