@@ -110,27 +110,44 @@ def bench_decode(eng: Engine, qname: str, repeats: int = 3) -> float:
 
 
 def bench_prefill(eng: Engine, qname: str) -> None:
+    """PIPELINED prefill throughput: k prefills enqueue back-to-back and ONE
+    fetch of the last program's logits ends the chain (the device executes
+    programs in submission order, so that fetch proves all k ran). A
+    sync-per-prefill formulation measured ~12k tok/s — but ~30 ms of every
+    iteration was the device->host sync RPC, a cost no pipelined consumer
+    (serving refill, batch scoring) ever pays; the device program itself
+    runs in ~4.5 ms (profiled). Marginal long-minus-short cancels the fixed
+    dispatch/fetch tail."""
     n_prompt = 512
     ids = np.arange(2, 2 + n_prompt) % 40000
-    for _ in range(2):   # compile + warm the 512 bucket
+    for _ in range(3):   # compile + warm the 512 bucket
         logits, cache, _ = eng.prefill(eng.new_cache(), ids)
-        jax.block_until_ready(logits)
+        np.asarray(logits)
         del cache
 
     def run(k):
         t0 = time.perf_counter()
+        last = None
         for _ in range(k):
             logits, cache, _ = eng.prefill(eng.new_cache(), ids)
-            jax.block_until_ready(logits)
+            last = logits
             del cache
+        np.asarray(last)
         return time.perf_counter() - t0
 
-    t_short, t_long = run(2), run(6)
-    tok_s = (6 - 2) * n_prompt / (t_long - t_short)
-    log(f"prefill({n_prompt}): {tok_s:.0f} tok/s marginal")
+    samples = []
+    for r in range(3):
+        t_short, t_long = run(2), run(10)
+        per = (t_long - t_short) / 8
+        samples.append(n_prompt / per)
+        log(f"prefill[{r}]({n_prompt}): {samples[-1]:.0f} tok/s pipelined "
+            f"({per * 1e3:.2f} ms/prefill)")
+    tok_s = sorted(samples)[len(samples) // 2]
+    log(f"prefill: median {tok_s:.0f} tok/s")
     emit(f"{qname}_prefill_tokens_per_sec", tok_s, "tokens/s",
          BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
-         prompt_len=n_prompt)
+         prompt_len=n_prompt, pipelined=True,
+         spread=[round(s) for s in sorted(samples)])
 
 
 def bench_serving(params, config, qname: str, single_stream_tok_s: float,
