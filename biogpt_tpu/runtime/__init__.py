@@ -1,4 +1,7 @@
 from .cache import KVCache, init_cache  # noqa: F401
+from .health import (DrainStallError, ModelHealthError,  # noqa: F401
+                     check_params_finite)
+from .metrics import ServingMetrics  # noqa: F401
 from .sampling import sample_top_k_top_p, greedy  # noqa: F401
 
 

@@ -35,6 +35,8 @@ import numpy as np
 from ..config import BioGptConfig, GenerationParams
 from ..models.biogpt import forward, forward_fused_decode
 from .cache import KVCache, init_cache
+from .health import DrainStallError, ModelHealthError
+from .metrics import ServingMetrics
 from .sampling import greedy, sample_per_request
 
 
@@ -86,6 +88,8 @@ class BatchedEngine:
         mesh=None,
         kv_quant: bool = False,
         paged_kv: Optional[bool] = None,
+        health_check: bool = True,
+        watchdog_s: Optional[float] = None,
     ):
         self.config = config
         self.B = max_batch
@@ -93,6 +97,15 @@ class BatchedEngine:
         self.max_seq = max_seq or config.n_positions
         self.chunk = chunk
         self.mesh = mesh
+        # failure detection (runtime/health.py): the decode scan always
+        # computes the on-device finite check (keeping ONE program shape);
+        # health_check gates whether a tripped bit fails the serve.
+        # watchdog_s (None = off: the first deeply-queued run of a new
+        # program on this runtime can legitimately take minutes) bounds how
+        # long launched chunks may go undrained before DrainStallError.
+        self.health_check = health_check
+        self.watchdog_s = watchdog_s
+        self.metrics = ServingMetrics()
         # in-flight chunk fetches before the host blocks on a drain: at
         # depth 2 a fetch has had ~2 chunk periods for device compute + the
         # ~26 ms device->host RTT, so drains come back essentially free
@@ -234,13 +247,18 @@ class BatchedEngine:
                              "temps", "top_ps", "top_ks"))
 
         def batched_step(params, toks, cache, lengths, rng, temps, top_ps,
-                         top_ks, out_buf, out_ix, kv_window, use_fused,
-                         all_greedy):
+                         top_ks, out_buf, out_ix, live, health, kv_window,
+                         use_fused, all_greedy):
             """One lockstep decode step over all B slots.
 
             toks (B, 1); lengths (B,) per-slot positions; temps/top_ps/
             top_ks (B,) per-request sampling params; tokens land in
             out_buf[out_ix] (a (chunk, B) device ring the host drains).
+            ``live`` (B,) bool marks slots bound to a request this chunk;
+            ``health`` () bool accumulates an on-device finite check of
+            the live slots' logits (runtime/health.py — one ~2 µs reduce
+            per step that rides home with the token drain, so numeric
+            failure detection costs no extra host<->device traffic).
             """
             if use_fused:
                 logits, cache = forward_fused_decode(
@@ -253,6 +271,8 @@ class BatchedEngine:
                     compute_dtype=self.compute_dtype,
                     allow_pallas=self.allow_pallas, logits_mode="last",
                     kv_window=kv_window)
+            health = jnp.logical_and(
+                health, jnp.all(jnp.isfinite(logits) | ~live[:, None]))
             if all_greedy:
                 # every live request is greedy: skip the full-vocab top-k
                 # (jax.lax.top_k over (B, 42k) costs more than the forward's
@@ -265,22 +285,24 @@ class BatchedEngine:
             out_buf = jax.lax.dynamic_update_slice(
                 out_buf, nxt[None, :], (out_ix, jnp.zeros((), jnp.int32)))
             return (nxt[:, None], cache, lengths + 1, rng, out_buf,
-                    out_ix + 1)
+                    out_ix + 1, health)
 
         def step_scan(params, toks, cache, lengths, rng, temps, top_ps,
-                      top_ks, out_buf, *, n_steps: int, kv_window: int,
+                      top_ks, out_buf, live, *, n_steps: int, kv_window: int,
                       use_fused: bool, all_greedy: bool):
             """``n_steps`` lockstep steps under ONE dispatch (argument
             binding costs ~0.7 ms/call on this runtime — see engine)."""
             def body(carry, _):
-                toks, cache, lengths, rng, out_buf, out_ix = carry
+                toks, cache, lengths, rng, out_buf, out_ix, health = carry
                 return batched_step(params, toks, cache, lengths, rng,
                                     temps, top_ps, top_ks, out_buf, out_ix,
-                                    kv_window, use_fused, all_greedy), None
-            init = (toks, cache, lengths, rng, out_buf, jnp.int32(0))
-            (toks, cache, lengths, rng, out_buf, _), _ = jax.lax.scan(
+                                    live, health, kv_window, use_fused,
+                                    all_greedy), None
+            init = (toks, cache, lengths, rng, out_buf, jnp.int32(0),
+                    jnp.bool_(True))
+            (toks, cache, lengths, rng, out_buf, _, health), _ = jax.lax.scan(
                 body, init, None, length=n_steps)
-            return toks, cache, lengths, rng, out_buf
+            return toks, cache, lengths, rng, out_buf, health
 
         self._step_scan = jax.jit(
             step_scan, static_argnames=("n_steps", "kv_window", "use_fused",
@@ -424,6 +446,8 @@ class BatchedEngine:
         gen = gen or GenerationParams(temp=0.0)
         seed = gen.seed if gen.seed >= 0 else int(time.time())
         rng = jax.random.PRNGKey(seed)
+        t_serve = time.perf_counter()
+        tokens_before = self.metrics.snapshot()["tokens_emitted"]
 
         def is_greedy(r: Request) -> bool:
             return (gen.temp if r.temp is None else r.temp) <= 0
@@ -480,6 +504,7 @@ class BatchedEngine:
                     if more is not None:
                         results.pop(rid)
                         capped.pop(rid, None)
+            self.metrics.inc("requests_completed", len(done))
             for rid, res in done:
                 on_complete(rid, res)
 
@@ -510,22 +535,35 @@ class BatchedEngine:
         done_map: Dict[int, tuple] = {}   # seq -> (vals, bound, fbound)
         next_emit = [0]                   # next seq to emit (under emit_cv)
         launched = [0]                    # chunks handed to the pool
+        last_land = [time.monotonic()]    # watchdog: last drain landing
 
-        def emit_chunk(vals, bound, fbound) -> None:
+        def emit_chunk(seq, vals, bound, fbound) -> None:
             """Emit one fetched chunk against the bindings snapshotted at
             its launch. ``req_done`` re-checks per token so n_predict/EOS
-            cut emission mid-chunk."""
+            cut emission mid-chunk. The trailing health lane (the chunk's
+            on-device finite check over live slots) fails the whole serve
+            BEFORE any of its tokens are delivered."""
+            if self.health_check and int(vals[-1]) == 0:
+                self.metrics.inc("health_failures")
+                raise ModelHealthError(
+                    f"non-finite logits in decode chunk {seq} (live slots: "
+                    f"{[b for b in range(self.B) if bound[b] is not None]})")
             firsts = vals[:self.B]
-            block = vals[self.B:].reshape(self.chunk, self.B)
+            block = vals[self.B:self.B + self.chunk * self.B].reshape(
+                self.chunk, self.B)
+            emitted = 0
             with state_lock:
                 for b in range(self.B):
                     if fbound[b] is not None and not req_done(fbound[b]):
                         emit_token(fbound[b].request_id, int(firsts[b]))
+                        emitted += 1
                 for step_row in block:
                     for b in range(self.B):
                         req = bound[b]
                         if req is not None and not req_done(req):
                             emit_token(req.request_id, int(step_row[b]))
+                            emitted += 1
+            self.metrics.inc("tokens_emitted", emitted)
 
         def drain_worker() -> None:
             while True:
@@ -537,10 +575,13 @@ class BatchedEngine:
                     # np.asarray blocks (GIL released): a full RPC unless
                     # the launch-time copy_to_host_async already landed
                     vals = np.asarray(fetch)
+                    self.metrics.inc("drains_landed")
+                    last_land[0] = time.monotonic()
                     with emit_cv:
                         done_map[seq] = (vals, bound, fbound)
                         while next_emit[0] in done_map:
-                            emit_chunk(*done_map.pop(next_emit[0]))
+                            s = next_emit[0]
+                            emit_chunk(s, *done_map.pop(s))
                             next_emit[0] += 1
                         emit_cv.notify_all()
                     notify()
@@ -560,10 +601,23 @@ class BatchedEngine:
 
         def flush_drains() -> None:
             """Wait until every launched chunk has drained AND emitted (EOS
-            bookkeeping and final tokens depend on it); re-raise errors."""
+            bookkeeping and final tokens depend on it); re-raise errors.
+            With ``watchdog_s`` set, a drain pool that stops landing chunks
+            for that long (hung device / dead relay) raises DrainStallError
+            instead of hanging every client forever."""
+            deadline_base = time.monotonic()
             with emit_cv:
                 while next_emit[0] < launched[0] and not drain_errors:
                     emit_cv.wait(timeout=0.1)
+                    if self.watchdog_s is not None:
+                        quiet = time.monotonic() - max(last_land[0],
+                                                       deadline_base)
+                        if quiet > self.watchdog_s:
+                            raise DrainStallError(
+                                f"no decode chunk drained for {quiet:.1f}s "
+                                f"(watchdog {self.watchdog_s}s): "
+                                f"{next_emit[0]}/{launched[0]} chunks "
+                                f"emitted")
             if drain_errors:
                 raise drain_errors[0]
 
@@ -636,11 +690,13 @@ class BatchedEngine:
                     pairs.append((slot, req))
             if not pairs:
                 return
+            self.metrics.inc("requests_accepted", len(pairs))
             # group by padded bucket so each group is one forward
             by_bucket: Dict[int, list] = {}
             for slot, req in pairs:
                 b = _bucket(len(req.prompt_ids))
                 by_bucket.setdefault(b, []).append((slot, req))
+            self.metrics.inc("refill_programs", len(by_bucket))
             for group in by_bucket.values():
                 slot_state = (toks, lengths, first_buf, temps, top_ps,
                               top_ks)
@@ -716,15 +772,25 @@ class BatchedEngine:
                 # sampled request joined a greedy batch would stall EVERY
                 # in-flight request on a 20-40 s remote compile per window
                 greedy_now = all_greedy if more is None else False
+                # launch-time binding snapshot (also the kernel's live mask:
+                # only bound slots' logits are health-checked — free slots
+                # compute garbage by design)
+                bound = [slot_req[b] if not slot_free(b) else None
+                         for b in range(self.B)]
+                live = jnp.asarray([r is not None for r in bound])
                 out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
-                toks, cache, lengths, rng, out_buf = self._step_scan(
+                toks, cache, lengths, rng, out_buf, health = self._step_scan(
                     self.params, toks, cache, lengths, rng, temps, top_ps,
-                    top_ks, out_buf, n_steps=self.chunk, kv_window=window,
-                    use_fused=self._use_fused(), all_greedy=greedy_now)
-                # ONE array fetches first tokens + the whole chunk block; slots
-                # already free at launch snapshot as unbound so their garbage
-                # lanes can't reach a truncated request
-                fetch = jnp.concatenate([first_buf, out_buf.reshape(-1)])
+                    top_ks, out_buf, live, n_steps=self.chunk,
+                    kv_window=window, use_fused=self._use_fused(),
+                    all_greedy=greedy_now)
+                # ONE array fetches first tokens + the whole chunk block +
+                # the chunk's health bit; slots already free at launch
+                # snapshot as unbound so their garbage lanes can't reach a
+                # truncated request
+                fetch = jnp.concatenate(
+                    [first_buf, out_buf.reshape(-1),
+                     health.astype(jnp.int32)[None]])
                 try:
                     # start the device->host copy NOW (behind this chunk only);
                     # by drain time next iteration it is already in flight
@@ -746,6 +812,7 @@ class BatchedEngine:
                 # fetchers have fallen 2*pipeline chunks behind)
                 drain_q.put((launched[0], fetch, bound, fbound))
                 launched[0] += 1
+                self.metrics.inc("chunks_launched")
                 for b in range(self.B):
                     lengths_host[b] += self.chunk
         finally:
@@ -758,6 +825,12 @@ class BatchedEngine:
         if drain_errors:
             raise drain_errors[0]
         notify()
+        if on_complete is None:
+            # no callback: notify() never ran its completion scan
+            self.metrics.inc("requests_completed", len(results))
+        self.metrics.serve_finished(
+            time.perf_counter() - t_serve,
+            self.metrics.snapshot()["tokens_emitted"] - tokens_before)
         return results
 
 
@@ -815,6 +888,18 @@ class ServingScheduler:
             self._queue.put((req, fut, on_token))
         self._wake.set()
         return fut
+
+    def stats(self) -> dict:
+        """Live observability snapshot (served by ``GET /stats``): the
+        engine's ServingMetrics counters plus this scheduler's queue
+        depth and in-flight request count."""
+        out = self.engine.metrics.snapshot()
+        out["queued"] = self._queue.qsize()
+        out["in_flight"] = max(
+            0, out["requests_accepted"] - out["requests_completed"])
+        out["batch_slots"] = self.engine.B
+        out["closed"] = self._stop
+        return out
 
     def close(self, timeout: Optional[float] = 30.0) -> None:
         """Stop accepting work; wait for in-flight requests to finish."""

@@ -57,6 +57,9 @@ class BioGptServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._json(200, {"ok": True})
+                elif self.path == "/stats":
+                    # live serving counters (runtime/metrics.ServingMetrics)
+                    self._json(200, outer.scheduler.stats())
                 else:
                     self._json(404, {"error": "not found"})
 

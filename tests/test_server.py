@@ -193,3 +193,30 @@ def test_http_concurrent_clients(scheduler, single_engine):
             assert payload["ids"] == _expected(single_engine, p, 4), i
     finally:
         server._httpd.shutdown()
+
+
+def test_http_stats_endpoint(scheduler, single_engine):
+    """GET /stats serves the live ServingMetrics counters (SURVEY §5:
+    the reference's only observability is an exit-time printf report)."""
+    from biogpt_tpu.server import BioGptServer
+
+    server = BioGptServer(scheduler, tokenizer=None, port=0)
+    server.start()
+    try:
+        conn = http.client.HTTPConnection(server.host, server.port,
+                                          timeout=120)
+        body = json.dumps({"prompt_ids": [2, 5, 9], "n_predict": 4})
+        conn.request("POST", "/generate", body=body,
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 200
+        conn.request("GET", "/stats")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        stats = json.loads(resp.read())
+        assert stats["requests_completed"] >= 1
+        assert stats["tokens_emitted"] >= 4
+        assert stats["health_failures"] == 0
+        assert stats["batch_slots"] == scheduler.engine.B
+        assert stats["in_flight"] == 0 and not stats["closed"]
+    finally:
+        server._httpd.shutdown()
