@@ -37,22 +37,33 @@ class DrainStallError(RuntimeError):
     """Launched decode chunks stopped draining within the watchdog."""
 
 
+def _float_leaves(params):
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        if (isinstance(leaf, (jax.Array, np.ndarray))
+                and jnp.issubdtype(leaf.dtype, jnp.floating)):
+            yield path, leaf
+
+
 def check_params_finite(params, name: str = "params") -> None:
     """Raise ``ModelHealthError`` naming every non-finite float leaf.
 
     Quantized tensors store their scales/mins as float planes inside the
     pytree, so a corrupt quantized checkpoint is caught the same way as a
     corrupt f32 one. Integer planes are skipped (always finite).
+
+    Two-phase on purpose: a device->host fetch costs ~35 ms on this
+    runtime, so the healthy path is ONE fused tree-wide reduction and one
+    fetch; only a failure pays the per-leaf walk to name the culprits.
     """
-    bad = []
-    leaves = jax.tree_util.tree_leaves_with_path(params)
-    for path, leaf in leaves:
-        if not isinstance(leaf, (jax.Array, np.ndarray)):
-            continue
-        if not jnp.issubdtype(leaf.dtype, jnp.floating):
-            continue
-        if not bool(jnp.isfinite(leaf).all()):
-            bad.append(jax.tree_util.keystr(path))
-    if bad:
-        raise ModelHealthError(
-            f"non-finite values in {name}: {', '.join(sorted(bad))}")
+    leaves = [leaf for _, leaf in _float_leaves(params)]
+    if not leaves:
+        return
+    ok = jax.jit(lambda ls: jnp.array(
+        [jnp.isfinite(x).all() for x in ls]).all())(leaves)
+    if bool(ok):
+        return
+    bad = [jax.tree_util.keystr(path)
+           for path, leaf in _float_leaves(params)
+           if not bool(jnp.isfinite(leaf).all())]
+    raise ModelHealthError(
+        f"non-finite values in {name}: {', '.join(sorted(bad))}")
