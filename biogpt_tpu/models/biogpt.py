@@ -291,6 +291,60 @@ def forward_fused_decode(
     remain as XLA ops — decode is op-issue bound on this runtime. Batched
     serving (B <= 8) passes per-slot ``past`` positions.
     """
+    x, cache = _fused_decode_hidden(
+        params, tokens, cache, past, config, kv_window=kv_window,
+        interpret=interpret, kv_block=kv_block, per_slot_kv=per_slot_kv)
+    x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
+                    config.ln_eps)
+    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
+                    allow_pallas=True)
+    logits = logits[..., :config.n_vocab]
+    return logits, cache
+
+
+def forward_fused_decode_greedy(
+    params: dict,
+    tokens: jax.Array,           # (B, 1) int32, B <= 8
+    cache: KVCache,
+    past: jax.Array,             # scalar int32, or (B,) per-slot positions
+    config: BioGptConfig,
+    kv_window: int = 128,
+    interpret: bool = False,
+) -> Tuple[jax.Array, KVCache]:
+    """Greedy decode with the lm_head folded into the kernel chain.
+
+    Same layer stack as ``forward_fused_decode``, but the epilogue (final
+    LN + lm_head matmul + argmax, the reference's per-token tail
+    ``biogpt.cpp:798-806`` + host argmax) runs as a second Pallas kernel
+    (ops.pallas_qmatmul.lm_head_argmax_pallas) that never materializes the
+    (B, n_vocab) logits — it returns the (B,) winning token ids directly.
+    Requires a packed/lane-padded quantized lm_head (Engine prepares one).
+    """
+    from ..ops.pallas_qmatmul import lm_head_argmax_pallas
+
+    x, cache = _fused_decode_hidden(
+        params, tokens, cache, past, config, kv_window=kv_window,
+        interpret=interpret)
+    tok = lm_head_argmax_pallas(
+        x, params["final_ln"]["w"], params["final_ln"]["b"],
+        params["lm_head"], n_valid=config.n_vocab, ln_eps=config.ln_eps,
+        interpret=interpret)
+    return tok, cache
+
+
+def _fused_decode_hidden(
+    params: dict,
+    tokens: jax.Array,
+    cache: KVCache,
+    past: jax.Array,
+    config: BioGptConfig,
+    kv_window: int = 128,
+    interpret: bool = False,
+    kv_block: Optional[int] = None,
+    per_slot_kv: bool = False,
+) -> Tuple[jax.Array, KVCache]:
+    """Megakernel layer stack + KV-row writes; returns the pre-final-LN
+    hidden state (B, d_model) f32 and the updated cache."""
     from ..ops.pallas_decode import decode_step_fused
 
     B, N = tokens.shape
@@ -344,12 +398,7 @@ def forward_fused_decode(
                 idx)
         cache = KVCache(k=k_new, v=v_new)
 
-    x = _layer_norm(x_out, params["final_ln"]["w"], params["final_ln"]["b"],
-                    config.ln_eps)
-    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
-                    allow_pallas=True)
-    logits = logits[..., :config.n_vocab]
-    return logits, cache
+    return x_out, cache
 
 
 def logits_for_tokens(

@@ -149,6 +149,154 @@ def supports(qt: QuantizedTensor, m: int) -> bool:
     )
 
 
+def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
+                   out_ref, bv_ref, bi_ref, *, offset: int, packed: bool,
+                   five_bit: bool, n_valid: int, T: int, nT: int, eps: float):
+    """Fused final-LN + lm_head dequant-matmul + greedy argmax.
+
+    Greedy decode never needs the (B, n_vocab) logits on HBM — only the
+    winning column index. Each grid step dequantizes one vocab tile,
+    computes its logits via the same X'-block formulation as ``_kernel``,
+    and folds the tile's (max, argmax) into a running best carried in VMEM
+    scratch (TPU grids run sequentially); only the final (M, 1) token ids
+    are ever written. This removes the last XLA ops of the decode step
+    (final LN, logits materialization/slice, 42k-wide argmax) — the
+    reference's per-token epilogue is ``biogpt.cpp:798-806`` + host argmax.
+
+    Ties resolve to the lowest index (first occurrence), matching
+    ``jnp.argmax`` on the oracle logits.
+    """
+    j = pl.program_id(0)
+    M = x_ref.shape[0]
+    d_in = x_ref.shape[1]
+    nb = d_in // QK
+
+    # final LN in f32 (matches models.biogpt._layer_norm), recomputed per
+    # tile — ~3*M*d_in VPU flops, noise against the tile's DMA
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    xn = (y * lnw_ref[:].astype(jnp.float32)
+          + lnb_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    if packed:
+        lv = unpack_levels_swar(lv_ref[:], d_in, five_bit)
+    else:
+        lv = lv_ref[:].astype(jnp.bfloat16)
+    scales = sc_ref[:].astype(jnp.float32)
+    mins = mn_ref[:].astype(jnp.float32) if mn_ref is not None else None
+
+    block_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 1) // QK
+    block_row = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 0)
+    offblock = jnp.minimum(jnp.abs(block_of_k - block_row), 1)
+    mask = (1 - offblock).astype(jnp.bfloat16)
+
+    rows = []
+    for m in range(M):
+        xp = xn[m, :][None, :] * mask
+        partial = jnp.dot(xp, lv, preferred_element_type=jnp.float32)
+        if offset or mins is not None:
+            xsum = jnp.sum(xp.astype(jnp.float32), axis=1, keepdims=True)
+            if offset:
+                partial = partial - float(offset) * xsum
+            acc = partial * scales
+            if mins is not None:
+                acc = acc + xsum * mins
+        else:
+            acc = partial * scales
+        rows.append(jnp.sum(acc, axis=0, keepdims=True))
+    logits = jnp.concatenate(rows, axis=0)              # (M, T) f32
+
+    col = j * T + jax.lax.broadcasted_iota(jnp.int32, (M, T), 1)
+    # mask the lane-padding columns (zero scales would win over all-negative
+    # real logits otherwise)
+    logits = jnp.where(col < n_valid, logits, -1e30)
+    tmax = jnp.max(logits, axis=1, keepdims=True)       # (M, 1)
+    targ = jnp.min(jnp.where(logits >= tmax, col, jnp.int32(2 ** 30)),
+                   axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        bv_ref[:, :] = tmax
+        bi_ref[:, :] = targ
+
+    @pl.when(j > 0)
+    def _fold():
+        better = tmax > bv_ref[:, :]                    # strict: keep first
+        bv_ref[:, :] = jnp.where(better, tmax, bv_ref[:, :])
+        bi_ref[:, :] = jnp.where(better, targ, bi_ref[:, :])
+
+    @pl.when(j == nT - 1)
+    def _emit():
+        out_ref[:, :] = bi_ref[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_valid", "ln_eps", "interpret"))
+def lm_head_argmax_pallas(x: jax.Array, ln_w: jax.Array, ln_b: jax.Array,
+                          qt: QuantizedTensor, n_valid: int,
+                          ln_eps: float = 1e-5,
+                          interpret: bool = False) -> jax.Array:
+    """argmax(layer_norm(x) @ dequant(qt)) over the first ``n_valid``
+    columns. x: (M, d_model) float -> (M,) int32 token ids."""
+    d_in = qt.scales.shape[-2] * QK
+    d_out = qt.scales.shape[-1]
+    M = x.shape[0]
+    T = _pick_tile(d_out)
+    nb = d_in // QK
+    nT = d_out // T
+    offset = LEVEL_OFFSET[qt.qtype] if qt.packed else 0
+    five_bit = qt.packed and qt.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
+    lv_rows = qt.levels.shape[0]
+
+    full = lambda shape: pl.BlockSpec(shape, lambda j: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        full((M, d_in)),
+        full((1, d_in)),
+        full((1, d_in)),
+        pl.BlockSpec((lv_rows, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x.astype(jnp.float32), ln_w.reshape(1, d_in),
+            ln_b.reshape(1, d_in), qt.levels, qt.scales]
+    kw = dict(offset=offset, packed=qt.packed, five_bit=five_bit,
+              n_valid=n_valid, T=T, nT=nT, eps=ln_eps)
+    if qt.mins is not None:
+        in_specs.append(pl.BlockSpec((nb, T), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(qt.mins)
+        kernel = functools.partial(_argmax_kernel, **kw)
+    else:
+        def kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, out_ref,
+                   bv_ref, bi_ref):
+            _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, None,
+                           out_ref, bv_ref, bi_ref, **kw)
+
+    level_bytes = lv_rows * d_out * qt.levels.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=2 * M * d_in * d_out,
+        bytes_accessed=level_bytes + nb * d_out * 2 + M * d_in * 4 + M * 4,
+        transcendentals=0,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nT,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((M, 1), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((M, 1), jnp.float32),
+                        pltpu.VMEM((M, 1), jnp.int32)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    return out[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qmatmul_pallas(x: jax.Array, qt: QuantizedTensor, interpret: bool = False) -> jax.Array:
     """y = x @ dequant(qt). x: (M, d_in) any float dtype -> (M, d_out) f32."""

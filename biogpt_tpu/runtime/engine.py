@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BioGptConfig, GenerationParams
-from ..models.biogpt import forward, forward_fused_decode
+from ..models.biogpt import (forward, forward_fused_decode,
+                             forward_fused_decode_greedy)
 from .cache import KVCache, init_cache
 from .sampling import greedy, sample_top_k_top_p
 
@@ -215,9 +216,27 @@ class Engine:
 
         self._interpret = jax.default_backend() != "tpu"
 
+        # Greedy tail fusion: when the megakernel path is live and lm_head
+        # is packed, greedy decode skips materializing the (B, n_vocab)
+        # logits — a second Pallas kernel does final LN + lm_head + argmax
+        # and returns the token ids (ops.pallas_qmatmul.lm_head_argmax_pallas).
+        from ..ops.pallas_qmatmul import supports as _pallas_supports
+        from ..quant.layouts import QuantizedTensor as _QT
+        lm_head = (self.params.get("lm_head")
+                   if isinstance(self.params, dict) else None)
+        self._fused_greedy = (
+            self._fused_decode and isinstance(lm_head, _QT)
+            and lm_head.packed and _pallas_supports(lm_head, 1))
+
         def decode_and_sample(params, tok, cache, past, rng, temp, top_p,
                               out_buf, out_ix, *, top_k: int, use_greedy: bool,
                               kv_window: int, use_fused: bool = False):
+            if use_fused and use_greedy and self._fused_greedy:
+                nxt, cache = forward_fused_decode_greedy(
+                    params, tok, cache, past, self.config,
+                    kv_window=kv_window, interpret=self._interpret)
+                out_buf = jax.lax.dynamic_update_slice(out_buf, nxt, (out_ix,))
+                return nxt[:, None], cache, rng, out_buf, past + 1, out_ix + 1
             if use_fused:
                 logits, cache = forward_fused_decode(
                     params, tok, cache, past, self.config,

@@ -312,3 +312,58 @@ def test_engine_generate_fused_matches_per_op():
     finally:
         set_pallas_mode("auto")
     assert fused_ids == plain_ids
+
+
+def test_fused_greedy_tail_matches_logits_argmax():
+    """forward_fused_decode_greedy returns argmax of forward_fused_decode's
+    logits with an identical cache update (CPU interpret mode)."""
+    from biogpt_tpu.models.biogpt import forward_fused_decode_greedy
+
+    params = _packed_params(codecs.GGML_TYPE_Q4_0, seed=21)
+    rng = np.random.RandomState(22)
+    prompt = rng.randint(3, CFG.n_vocab, size=(1, 4)).astype(np.int32)
+
+    cache = init_cache(CFG, batch=1, max_len=CFG.n_positions,
+                       dtype=jnp.bfloat16)
+    logits, cache = forward(
+        params, jnp.asarray(prompt), cache, jnp.int32(0), CFG,
+        compute_dtype=jnp.bfloat16, causal=True, logits_mode="last",
+        allow_pallas=False)
+    tok = int(np.asarray(logits).argmax(-1)[0])
+    past = prompt.shape[1]
+    for _ in range(3):
+        t = jnp.asarray([[tok]], jnp.int32)
+        logits_f, cache_a = forward_fused_decode(
+            params, t, cache, jnp.int32(past), CFG,
+            compute_dtype=jnp.bfloat16, kv_window=32, interpret=True)
+        tok_g, cache_b = forward_fused_decode_greedy(
+            params, t, cache, jnp.int32(past), CFG,
+            kv_window=32, interpret=True)
+        assert int(np.asarray(tok_g)[0]) == int(np.asarray(logits_f).argmax(-1)[0])
+        np.testing.assert_array_equal(np.asarray(cache_a.k),
+                                      np.asarray(cache_b.k))
+        cache, tok, past = cache_a, int(np.asarray(tok_g)[0]), past + 1
+
+
+def test_engine_uses_fused_greedy_tail():
+    """The Engine engages the lm_head argmax kernel for greedy fused decode
+    and still matches the per-op path token-for-token."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.runtime.engine import Engine
+
+    sd = make_state_dict(CFG, seed=23)
+    params = params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_1)
+    gen = GenerationParams(n_predict=8, temp=0.0, seed=0, stop_at_eos=False)
+    prompt = [2, 17, 5]
+
+    eng = Engine(CFG, params, compute_dtype=jnp.bfloat16)
+    assert eng._fused_greedy  # tiny vocab is lane-aligned -> tail engages
+    try:
+        set_pallas_mode(True)
+        fused_ids = eng.generate(prompt, gen).ids
+        set_pallas_mode(False)
+        plain_ids = eng.generate(prompt, gen).ids
+    finally:
+        set_pallas_mode("auto")
+    assert fused_ids == plain_ids

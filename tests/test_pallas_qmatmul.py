@@ -146,3 +146,53 @@ def test_engine_packs_q4_weights():
     a, b = engine.score(ids), plain.score(ids)
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+
+@pytest.mark.parametrize("qtype", ALL_QTYPES)
+@pytest.mark.parametrize("m", [1, 4])
+def test_lm_head_argmax_matches_oracle(qtype, m):
+    """Fused final-LN + lm_head + argmax kernel vs LN->qmatmul->argmax,
+    including the lane-padding mask (n_valid < d_out)."""
+    import jax.numpy as jnp
+
+    from biogpt_tpu.ops.pallas_qmatmul import lm_head_argmax_pallas
+
+    qt = pack_nibble_planes(_qt(qtype, d_out=512, d_in=128, seed=11))
+    rng = np.random.RandomState(12)
+    x = rng.randn(m, 128).astype(np.float32)
+    lnw = rng.randn(128).astype(np.float32)
+    lnb = (rng.randn(128) * 0.1).astype(np.float32)
+    eps = 1e-5
+
+    mu = x.mean(1, keepdims=True)
+    var = x.var(1, keepdims=True)
+    xn = (x - mu) / np.sqrt(var + eps) * lnw + lnb
+    logits = np.asarray(qmatmul_pallas(jnp.asarray(xn), qt, interpret=True))
+
+    n_valid = 512 - 37  # exercise the pad-column mask
+    ref = logits[:, :n_valid].argmax(-1)
+    got = np.asarray(lm_head_argmax_pallas(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb), qt,
+        n_valid=n_valid, ln_eps=eps, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_lm_head_argmax_single_tile():
+    """nT == 1: the init / fold / emit stages all fire on one grid step."""
+    import jax.numpy as jnp
+
+    from biogpt_tpu.ops.pallas_qmatmul import lm_head_argmax_pallas
+
+    qt = pack_nibble_planes(_qt(codecs.GGML_TYPE_Q4_0, d_out=128, d_in=64,
+                                seed=13))
+    rng = np.random.RandomState(14)
+    x = rng.randn(2, 64).astype(np.float32)
+    lnw = np.ones(64, np.float32)
+    lnb = np.zeros(64, np.float32)
+    mu = x.mean(1, keepdims=True)
+    xn = (x - mu) / np.sqrt(x.var(1, keepdims=True) + 1e-5)
+    logits = np.asarray(qmatmul_pallas(jnp.asarray(xn), qt, interpret=True))
+    got = np.asarray(lm_head_argmax_pallas(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb), qt,
+        n_valid=128, ln_eps=1e-5, interpret=True))
+    np.testing.assert_array_equal(got, logits.argmax(-1))
