@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from .config import GenerationParams
 from .modelio.checkpoint import load_params
 from .runtime.engine import Engine
+from .runtime.health import ModelHealthError, check_params_finite
 from .tokenizer import BioGptTokenizer
 from .utils.logging import get_logger, set_verbosity
 from .utils.profiling import Timer
@@ -78,6 +79,14 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         tokenizer = BioGptTokenizer(token_to_id, merges, lang=args.lang)
+        # fail fast on a poisoned checkpoint (one fused tree-wide reduce;
+        # runtime/health.py) instead of streaming garbage tokens like the
+        # reference would
+        try:
+            check_params_finite(params, name=args.model)
+        except ModelHealthError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
 
     log.info(
         "model: %s d_model=%d n_layer=%d n_head=%d n_vocab=%d ftype=%d",
@@ -114,8 +123,15 @@ def main(argv=None) -> int:
               "no room to generate", file=sys.stderr)
         return 1
 
-    result = engine.generate(prompt_ids, gen,
-                             stream_cb=stream if args.stream else None)
+    try:
+        result = engine.generate(prompt_ids, gen,
+                                 stream_cb=stream if args.stream else None)
+    except ModelHealthError as e:
+        # runtime numerics failure (the on-device finite lane tripped)
+        if args.stream:
+            print()
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if args.stream:
         print()
 

@@ -310,26 +310,39 @@ def forward_fused_decode_greedy(
     config: BioGptConfig,
     kv_window: int = 128,
     interpret: bool = False,
-) -> Tuple[jax.Array, KVCache]:
+    kv_block: Optional[int] = None,
+    per_slot_kv: bool = False,
+    with_health: bool = False,
+):
     """Greedy decode with the lm_head folded into the kernel chain.
 
-    Same layer stack as ``forward_fused_decode``, but the epilogue (final
-    LN + lm_head matmul + argmax, the reference's per-token tail
-    ``biogpt.cpp:798-806`` + host argmax) runs as a second Pallas kernel
-    (ops.pallas_qmatmul.lm_head_argmax_pallas) that never materializes the
-    (B, n_vocab) logits — it returns the (B,) winning token ids directly.
-    Requires a packed/lane-padded quantized lm_head (Engine prepares one).
+    Same layer stack as ``forward_fused_decode`` (including the paged
+    ``per_slot_kv`` variant for mixed-length serving batches), but the
+    epilogue (final LN + lm_head matmul + argmax, the reference's per-token
+    tail ``biogpt.cpp:798-806`` + host argmax) runs as a second Pallas
+    kernel (ops.pallas_qmatmul.lm_head_argmax_pallas) that never
+    materializes the (B, n_vocab) logits — it returns the (B,) winning
+    token ids directly. Requires a packed/lane-padded quantized lm_head
+    (Engine prepares one).
+
+    ``with_health`` additionally returns a scalar bool that is False when
+    the winning logit values are non-finite (a poisoned hidden state NaNs
+    every vocab tile, so the kernel's max-value output carries the NaN out
+    without materializing logits — runtime/health.py's lane for this path).
     """
     from ..ops.pallas_qmatmul import lm_head_argmax_pallas
 
     x, cache = _fused_decode_hidden(
         params, tokens, cache, past, config, kv_window=kv_window,
-        interpret=interpret)
-    tok = lm_head_argmax_pallas(
+        interpret=interpret, kv_block=kv_block, per_slot_kv=per_slot_kv)
+    out = lm_head_argmax_pallas(
         x, params["final_ln"]["w"], params["final_ln"]["b"],
         params["lm_head"], n_valid=config.n_vocab, ln_eps=config.ln_eps,
-        interpret=interpret)
-    return tok, cache
+        interpret=interpret, with_max=with_health)
+    if with_health:
+        tok, mv = out
+        return tok, cache, jnp.isfinite(mv).all()
+    return out, cache
 
 
 def _fused_decode_hidden(

@@ -150,8 +150,9 @@ def supports(qt: QuantizedTensor, m: int) -> bool:
 
 
 def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
-                   out_ref, bv_ref, bi_ref, *, offset: int, packed: bool,
-                   five_bit: bool, n_valid: int, T: int, nT: int, eps: float):
+                   out_ref, mv_ref, bv_ref, bi_ref, *, offset: int,
+                   packed: bool, five_bit: bool, n_valid: int, T: int,
+                   nT: int, eps: float):
     """Fused final-LN + lm_head dequant-matmul + greedy argmax.
 
     Greedy decode never needs the (B, n_vocab) logits on HBM — only the
@@ -216,6 +217,13 @@ def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
     tmax = jnp.max(logits, axis=1, keepdims=True)       # (M, 1)
     targ = jnp.min(jnp.where(logits >= tmax, col, jnp.int32(2 ** 30)),
                    axis=1, keepdims=True)
+    # All-NaN logits (a poisoned checkpoint — the health lane's failure
+    # mode) make `logits >= tmax` false everywhere, leaving the 2**30
+    # sentinel. Clamp so emitted ids stay in-vocab even when numerics are
+    # broken; detection is owned by the max-value output (a NaN'd hidden
+    # state NaNs EVERY tile's tmax, so the j==0 init pins bv to NaN and
+    # the health lane sees it — runtime/health.py).
+    targ = jnp.minimum(targ, jnp.int32(n_valid - 1))
 
     @pl.when(j == 0)
     def _init():
@@ -231,16 +239,21 @@ def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
     @pl.when(j == nT - 1)
     def _emit():
         out_ref[:, :] = bi_ref[:, :]
+        mv_ref[:, :] = bv_ref[:, :]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_valid", "ln_eps", "interpret"))
+                   static_argnames=("n_valid", "ln_eps", "interpret",
+                                    "with_max"))
 def lm_head_argmax_pallas(x: jax.Array, ln_w: jax.Array, ln_b: jax.Array,
                           qt: QuantizedTensor, n_valid: int,
                           ln_eps: float = 1e-5,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          with_max: bool = False):
     """argmax(layer_norm(x) @ dequant(qt)) over the first ``n_valid``
-    columns. x: (M, d_model) float -> (M,) int32 token ids."""
+    columns. x: (M, d_model) float -> (M,) int32 token ids; with
+    ``with_max`` also the (M,) f32 winning logit values (the health lane's
+    NaN probe — a poisoned hidden state NaNs them)."""
     d_in = qt.scales.shape[-2] * QK
     d_out = qt.scales.shape[-1]
     M = x.shape[0]
@@ -271,9 +284,9 @@ def lm_head_argmax_pallas(x: jax.Array, ln_w: jax.Array, ln_b: jax.Array,
         kernel = functools.partial(_argmax_kernel, **kw)
     else:
         def kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, out_ref,
-                   bv_ref, bi_ref):
+                   mv_ref, bv_ref, bi_ref):
             _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, None,
-                           out_ref, bv_ref, bi_ref, **kw)
+                           out_ref, mv_ref, bv_ref, bi_ref, **kw)
 
     level_bytes = lv_rows * d_out * qt.levels.dtype.itemsize
     cost = pl.CostEstimate(
@@ -282,18 +295,23 @@ def lm_head_argmax_pallas(x: jax.Array, ln_w: jax.Array, ln_b: jax.Array,
         transcendentals=0,
     )
 
-    out = pl.pallas_call(
+    out, mv = pl.pallas_call(
         kernel,
         grid=(nT,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((M, 1), lambda j: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, 1), jnp.int32),
+        out_specs=[pl.BlockSpec((M, 1), lambda j: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((M, 1), lambda j: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((M, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((M, 1), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((M, 1), jnp.float32),
                         pltpu.VMEM((M, 1), jnp.int32)],
         cost_estimate=cost,
         interpret=interpret,
     )(*args)
+    if with_max:
+        return out[:, 0], mv[:, 0]
     return out[:, 0]
 
 

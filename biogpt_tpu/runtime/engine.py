@@ -143,10 +143,16 @@ class Engine:
         mesh=None,
         pack_q4: bool = True,
         kv_quant: bool = False,
+        health_check: bool = True,
     ):
         self.config = config
         self.compute_dtype = compute_dtype
         self.causal = causal
+        # failure detection (runtime/health.py): generate()'s decode loop
+        # accumulates an on-device finite check and the bit rides home in
+        # the existing once-per-generation token drain; a tripped bit
+        # raises ModelHealthError before the poisoned tokens are emitted.
+        self.health_check = health_check
         self.max_seq = max_seq or config.n_positions
         self.mesh = mesh
         # Mesh path: the whole forward runs as a shard_map (parallel/tp.py)
@@ -229,14 +235,19 @@ class Engine:
             and lm_head.packed and _pallas_supports(lm_head, 1))
 
         def decode_and_sample(params, tok, cache, past, rng, temp, top_p,
-                              out_buf, out_ix, *, top_k: int, use_greedy: bool,
-                              kv_window: int, use_fused: bool = False):
+                              out_buf, out_ix, health, *, top_k: int,
+                              use_greedy: bool, kv_window: int,
+                              use_fused: bool = False):
             if use_fused and use_greedy and self._fused_greedy:
-                nxt, cache = forward_fused_decode_greedy(
+                # no logits materialize on this path — the argmax kernel's
+                # max-value output carries the finite check instead
+                nxt, cache, ok = forward_fused_decode_greedy(
                     params, tok, cache, past, self.config,
-                    kv_window=kv_window, interpret=self._interpret)
+                    kv_window=kv_window, interpret=self._interpret,
+                    with_health=True)
                 out_buf = jax.lax.dynamic_update_slice(out_buf, nxt, (out_ix,))
-                return nxt[:, None], cache, rng, out_buf, past + 1, out_ix + 1
+                return (nxt[:, None], cache, rng, out_buf, past + 1,
+                        out_ix + 1, health & ok)
             if use_fused:
                 logits, cache = forward_fused_decode(
                     params, tok, cache, past, self.config,
@@ -248,6 +259,7 @@ class Engine:
                     compute_dtype=self.compute_dtype, causal=self.causal,
                     allow_pallas=self.allow_pallas, logits_mode="last",
                     kv_window=kv_window)
+            health = health & jnp.all(jnp.isfinite(logits))
             if use_greedy:
                 nxt = greedy(logits)
             else:
@@ -258,7 +270,8 @@ class Engine:
             # once per chunk) and the counters advance on device — per-step
             # host<->device scalar traffic costs ~4x the whole model step.
             out_buf = jax.lax.dynamic_update_slice(out_buf, nxt, (out_ix,))
-            return nxt[:, None], cache, rng, out_buf, past + 1, out_ix + 1
+            return (nxt[:, None], cache, rng, out_buf, past + 1, out_ix + 1,
+                    health)
 
         self._decode_sample = jax.jit(
             decode_and_sample,
@@ -275,9 +288,9 @@ class Engine:
             fused_step, static_argnames=("kv_window",), donate_argnames=donate)
 
         def decode_scan(params, tok, cache, past, rng, temp, top_p,
-                        out_buf, out_ix, done, eos_id, *, n_steps: int,
-                        top_k: int, use_greedy: bool, kv_window: int,
-                        use_fused: bool, check_eos: bool):
+                        out_buf, out_ix, done, health, eos_id, *,
+                        n_steps: int, top_k: int, use_greedy: bool,
+                        kv_window: int, use_fused: bool, check_eos: bool):
             """``n_steps`` fused decode+sample steps under ONE dispatch.
 
             Two runtime costs force this shape (both measured, see
@@ -286,15 +299,17 @@ class Engine:
             ``lax.scan``; and a device->host fetch after a large program
             stalls ~60 ms, so EOS is detected ON DEVICE (``done`` carry;
             post-EOS steps collapse to a ``cond`` no-op) and the host
-            drains the token ring ONCE per generation.
+            drains the token ring ONCE per generation, with the health
+            bit riding in the same fetch.
             """
             def step(operand):
-                tok, cache, past, rng, out_buf, out_ix = operand
-                tok, cache, rng, out_buf, past, out_ix = decode_and_sample(
+                tok, cache, past, rng, out_buf, out_ix, health = operand
+                (tok, cache, rng, out_buf, past, out_ix,
+                 health) = decode_and_sample(
                     params, tok, cache, past, rng, temp, top_p, out_buf,
-                    out_ix, top_k=top_k, use_greedy=use_greedy,
+                    out_ix, health, top_k=top_k, use_greedy=use_greedy,
                     kv_window=kv_window, use_fused=use_fused)
-                return tok, cache, past, rng, out_buf, out_ix
+                return tok, cache, past, rng, out_buf, out_ix, health
 
             def body(carry, _):
                 done = carry[-1]
@@ -304,10 +319,10 @@ class Engine:
                     done = done | (operand[0][0, 0] == eos_id)
                 return operand + (done,), None
 
-            init = (tok, cache, past, rng, out_buf, out_ix, done)
-            (tok, cache, past, rng, out_buf, out_ix, done), _ = jax.lax.scan(
-                body, init, None, length=n_steps)
-            return tok, cache, rng, out_buf, past, out_ix, done
+            init = (tok, cache, past, rng, out_buf, out_ix, health, done)
+            (tok, cache, past, rng, out_buf, out_ix, health,
+             done), _ = jax.lax.scan(body, init, None, length=n_steps)
+            return tok, cache, rng, out_buf, past, out_ix, health, done
 
         self._decode_scan = jax.jit(
             decode_scan,
@@ -441,6 +456,9 @@ class Engine:
         logits, cache, past = self.prefill(cache, ids)
         jax.block_until_ready(logits)
         t_prefill = time.perf_counter() - t0
+        # on-device health lane (runtime/health.py): seeded from the prefill
+        # logits, accumulated by every decode step, fetched with the drain
+        health_dev = jnp.all(jnp.isfinite(logits))
 
         # first sampled token comes from the prefill logits
         td0 = time.perf_counter()
@@ -463,12 +481,23 @@ class Engine:
         queued = 1   # tokens materialized in out_buf (incl. the prefill one)
 
         def drain():
-            """One transfer: emit all queued tokens, detect EOS."""
+            """One transfer: emit all queued tokens, detect EOS, check
+            the health bit (it rides the same fetch)."""
             nonlocal stopped, emitted
             # np.asarray blocks until the buffer is computed AND fetched;
             # an explicit block_until_ready first would add a second ~35 ms
             # sync RPC on this runtime
-            vals = np.asarray(out_buf)
+            if self.health_check:
+                vals = np.asarray(jnp.concatenate(
+                    [out_buf, health_dev.astype(jnp.int32)[None]]))
+                if int(vals[-1]) == 0:
+                    from .health import ModelHealthError
+                    raise ModelHealthError(
+                        "non-finite logits during generation (after "
+                        f"{emitted} emitted tokens) — corrupt checkpoint "
+                        "or numerics bug; tokens withheld")
+            else:
+                vals = np.asarray(out_buf)
             while emitted < min(queued, n_predict) and not stopped:
                 tid = int(vals[emitted])
                 ids.append(tid)
@@ -492,12 +521,12 @@ class Engine:
                 budget = min(chunk, n_predict - queued)
                 window = self._window(past + queued + budget)
                 for _ in range(budget):
-                    tok, cache, rng, out_buf, past_dev, out_ix = \
-                        self._decode_sample(
+                    (tok, cache, rng, out_buf, past_dev, out_ix,
+                     health_dev) = self._decode_sample(
                             self.params, tok, cache, past_dev, rng, temp,
-                            top_p, out_buf, out_ix, top_k=gen.top_k,
-                            use_greedy=use_greedy, kv_window=window,
-                            use_fused=use_fused)
+                            top_p, out_buf, out_ix, health_dev,
+                            top_k=gen.top_k, use_greedy=use_greedy,
+                            kv_window=window, use_fused=use_fused)
                     queued += 1
                     steps += 1
                 drain()
@@ -507,10 +536,10 @@ class Engine:
                 # mid-generation drain — EOS is handled on device and the
                 # single fetch below collects the whole ring
                 window = self._window(past + queued + chunk)
-                (tok, cache, rng, out_buf, past_dev, out_ix,
+                (tok, cache, rng, out_buf, past_dev, out_ix, health_dev,
                  done_dev) = self._decode_scan(
                     self.params, tok, cache, past_dev, rng, temp,
-                    top_p, out_buf, out_ix, done_dev,
+                    top_p, out_buf, out_ix, done_dev, health_dev,
                     jnp.int32(gen.eos_token_id), n_steps=chunk,
                     top_k=gen.top_k, use_greedy=use_greedy,
                     kv_window=window, use_fused=use_fused,

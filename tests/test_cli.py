@@ -58,6 +58,32 @@ def test_cli_missing_model(capsys):
     assert "failed to open" in capsys.readouterr().err
 
 
+def test_cli_poisoned_checkpoint_fails_fast(tmp_path, capsys):
+    """NaN weights exit 1 with a clean error naming the tensor BEFORE any
+    token is generated (the reference streams garbage; SURVEY §5 has no
+    failure detection)."""
+    from biogpt_tpu.config import BioGptConfig
+    from biogpt_tpu.modelio import ggml_format
+    from biogpt_tpu.modelio.synthetic import make_char_vocab, make_state_dict
+
+    cfg = BioGptConfig.tiny()
+    vocab, merges = make_char_vocab(cfg.n_vocab)
+    sd = make_state_dict(cfg, seed=5)
+    name = "biogpt.layers.0.fc1.weight"
+    sd[name] = np.asarray(sd[name]).copy()
+    sd[name][0, 0] = np.nan
+    path = tmp_path / "poisoned.bin"
+    ggml_format.write_model_file(
+        path, cfg, vocab, merges,
+        (ggml_format.tensor_record_from_array(n, a) for n, a in sd.items()))
+
+    rc = main(["-m", str(path), "-p", "hello", "-n", "4", "--temp", "0",
+               "--dtype", "f32"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "non-finite" in err and "fc1" in err
+
+
 def test_prompt_fills_context_clean_error(model_path, capsys):
     """A prompt with no room to generate exits 1 with a clean message
     (reference crashes ungracefully past n_positions)."""

@@ -139,6 +139,84 @@ def test_watchdog_fires_on_stalled_drains(tiny_params, monkeypatch):
     monkeypatch.undo()
 
 
+def test_engine_generate_detects_nonfinite(tiny_params):
+    """The single-stream (CLI) path has the same on-device finite lane as
+    serving: poisoned weights fail the generation before tokens are
+    emitted (VERDICT r2: previously the CLI streamed garbage)."""
+    from biogpt_tpu.runtime.engine import Engine
+
+    eng = Engine(TINY, _poison(tiny_params), compute_dtype=jnp.float32)
+    with pytest.raises(ModelHealthError, match="non-finite"):
+        eng.generate([2, 5, 9], GenerationParams(
+            temp=0.0, n_predict=6, stop_at_eos=False))
+    # sampled path too
+    with pytest.raises(ModelHealthError, match="non-finite"):
+        eng.generate([2, 5, 9], GenerationParams(
+            temp=0.8, seed=3, n_predict=6, stop_at_eos=False))
+
+
+def test_engine_generate_detects_nonfinite_streaming(tiny_params):
+    from biogpt_tpu.runtime.engine import Engine
+
+    eng = Engine(TINY, _poison(tiny_params), compute_dtype=jnp.float32)
+    seen = []
+    with pytest.raises(ModelHealthError):
+        eng.generate([2, 5, 9],
+                     GenerationParams(temp=0.0, n_predict=6,
+                                      stop_at_eos=False),
+                     stream_cb=seen.append)
+    assert seen == []   # tokens withheld, not delivered
+
+
+def test_engine_health_off_delivers(tiny_params):
+    from biogpt_tpu.runtime.engine import Engine
+
+    eng = Engine(TINY, _poison(tiny_params), compute_dtype=jnp.float32,
+                 health_check=False)
+    res = eng.generate([2, 5, 9], GenerationParams(
+        temp=0.0, n_predict=6, stop_at_eos=False))
+    assert len(res.new_ids) == 6   # garbage tokens, but delivered
+
+
+def test_engine_health_lane_does_not_perturb_tokens(tiny_params):
+    from biogpt_tpu.runtime.engine import Engine
+
+    gen = GenerationParams(temp=0.0, n_predict=8, stop_at_eos=False)
+    a = Engine(TINY, tiny_params, compute_dtype=jnp.float32).generate(
+        [2, 7, 3], gen).ids
+    b = Engine(TINY, tiny_params, compute_dtype=jnp.float32,
+               health_check=False).generate([2, 7, 3], gen).ids
+    assert a == b
+
+
+def test_engine_fused_greedy_health_lane(tiny_params):
+    """The greedy megakernel path never materializes logits — the argmax
+    kernel's max-value output carries the NaN out (pallas_qmatmul)."""
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.quant import codecs
+    from biogpt_tpu.runtime.engine import Engine
+
+    cfg = BioGptConfig.tiny(d_model=128, d_ff=256, n_head=2, n_layer=3,
+                            n_vocab=256, n_positions=64)
+    sd = make_state_dict(cfg, seed=31)
+    params = params_from_state_dict(sd, cfg, qtype=codecs.GGML_TYPE_Q4_0)
+    bad = copy.deepcopy(params)
+    b = np.array(bad["layers"]["fc1"]["b"], dtype=np.float32)
+    b[..., 0] = np.nan
+    bad["layers"]["fc1"]["b"] = b
+
+    eng = Engine(cfg, bad, compute_dtype=jnp.bfloat16)
+    assert eng._fused_greedy
+    gen = GenerationParams(temp=0.0, n_predict=6, stop_at_eos=False)
+    try:
+        set_pallas_mode(True)   # CPU: run kernels in interpret mode
+        assert eng._use_fused()
+        with pytest.raises(ModelHealthError, match="non-finite"):
+            eng.generate([2, 5, 9], gen)
+    finally:
+        set_pallas_mode("auto")
+
+
 def test_serving_metrics_thread_safety_smoke():
     import threading
 

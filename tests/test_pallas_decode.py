@@ -342,6 +342,8 @@ def test_fused_greedy_tail_matches_logits_argmax():
         assert int(np.asarray(tok_g)[0]) == int(np.asarray(logits_f).argmax(-1)[0])
         np.testing.assert_array_equal(np.asarray(cache_a.k),
                                       np.asarray(cache_b.k))
+        np.testing.assert_array_equal(np.asarray(cache_a.v),
+                                      np.asarray(cache_b.v))
         cache, tok, past = cache_a, int(np.asarray(tok_g)[0]), past + 1
 
 
