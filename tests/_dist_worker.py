@@ -1,16 +1,80 @@
-"""Worker process for the 2-process jax.distributed CPU test.
+"""Worker process for the 2-process jax.distributed CPU tests.
 
-Usage: python tests/_dist_worker.py <port> <process_id> <api|launcher>
+Usage: python tests/_dist_worker.py <port> <process_id> <api|launcher|model>
 
 In "api" mode the worker calls ``biogpt_tpu.parallel.distributed.
 initialize`` itself; in "launcher" mode it is run under
 ``python -m biogpt_tpu.parallel.distributed`` which already initialized
 the runtime. Either way it then checks the global runtime and runs a real
 cross-process collective.
+
+"model" mode is the real thing (SURVEY §2.1(d) multi-controller scope):
+the full engine and the continuous-batching server execute over a GLOBAL
+2x2 ("data", "model") mesh spanning both processes — every decode step's
+o-proj/fc2 psums and the lm_head all_gather cross the process boundary —
+and the tokens must be identical to a process-local single-device run.
 """
 
 import os
 import sys
+
+
+def _model_checks(pid: int) -> None:
+    """Cross-process model execution: greedy generate + batched serving
+    over a global mesh are token-identical to single-process; sampled
+    generation is identical ACROSS processes (vs single-process only ulp
+    differences are expected: TP psums reduce in a different order and
+    top-k/top-p sampling amplifies last-ulp logit ties)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from biogpt_tpu.config import BioGptConfig, GenerationParams
+    from biogpt_tpu.modelio.checkpoint import params_from_state_dict
+    from biogpt_tpu.modelio.synthetic import make_state_dict
+    from biogpt_tpu.parallel import make_mesh
+    from biogpt_tpu.quant import codecs
+    from biogpt_tpu.runtime.engine import Engine
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    cfg = BioGptConfig.tiny(d_model=128, d_ff=256, n_head=4, n_layer=2,
+                            n_vocab=256, n_positions=64)
+    sd = make_state_dict(cfg, seed=11)
+    params = params_from_state_dict(sd, cfg, qtype=codecs.GGML_TYPE_Q4_0)
+    gen = GenerationParams(temp=0.0, n_predict=6, stop_at_eos=False)
+    mesh = make_mesh(data=2, model=2)   # spans both processes
+
+    # --- greedy single-stream: global mesh == process-local single device
+    ref_ids = Engine(cfg, params, compute_dtype=jnp.float32,
+                     pack_q4=False).generate([2, 5, 9, 14], gen).ids
+    eng = Engine(cfg, params, compute_dtype=jnp.float32, mesh=mesh)
+    dist_ids = eng.generate([2, 5, 9, 14], gen).ids
+    assert dist_ids == ref_ids, (dist_ids, ref_ids)
+
+    # --- continuous batching across the process boundary
+    def reqs():
+        return [Request(prompt_ids=[2, 5, 9], n_predict=6, request_id=0),
+                Request(prompt_ids=[2, 14, 7, 3], n_predict=5, request_id=1),
+                Request(prompt_ids=[2, 8], n_predict=6, request_id=2)]
+
+    ref_srv = {k: r.new_ids for k, r in BatchedEngine(
+        cfg, params, max_batch=2, compute_dtype=jnp.float32, chunk=4,
+        pack_q4=False).serve(reqs(), gen).items()}
+    be = BatchedEngine(cfg, params, max_batch=2, compute_dtype=jnp.float32,
+                       chunk=4, mesh=mesh)
+    dist_srv = {k: r.new_ids for k, r in be.serve(reqs(), gen).items()}
+    assert dist_srv == ref_srv, (dist_srv, ref_srv)
+
+    # --- sampled generation: both processes must draw the same tokens
+    gen_s = GenerationParams(temp=0.8, seed=7, n_predict=6,
+                             stop_at_eos=False)
+    ids_s = eng.generate([2, 5, 9], gen_s).ids
+    gathered = multihost_utils.process_allgather(
+        jnp.asarray(ids_s, jnp.int32))
+    assert np.all(np.asarray(gathered)[0] == np.asarray(gathered)[1]), \
+        gathered
+    print(f"DIST_MODEL_OK {pid}", flush=True)
 
 
 def main() -> int:
@@ -26,8 +90,13 @@ def main() -> int:
 
     from biogpt_tpu.parallel.distributed import initialize, is_primary
 
-    if mode == "api":
+    if mode in ("api", "model"):
         initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+
+    if mode == "model":
+        assert jax.process_count() == 2 and len(jax.devices()) == 4
+        _model_checks(pid)
+        return 0
 
     assert jax.process_count() == 2, jax.process_count()
     assert jax.process_index() == pid, (jax.process_index(), pid)

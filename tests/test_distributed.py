@@ -67,6 +67,31 @@ def test_two_process_cluster_runs_collectives():
     assert "DIST_OK 1" in out1, out1
 
 
+def test_two_process_model_generation():
+    """THE multi-host check (SURVEY §2.1(d)): the full engine and the
+    continuous-batching server run over a global 2x2 mesh spanning two
+    real processes — every decode step's TP collectives cross the process
+    boundary — and produce tokens identical to a single-device run."""
+    port = _free_port()
+    env = _env()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(i), "model"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, out
+        assert f"DIST_MODEL_OK {i}" in out, out
+
+
 def test_initialize_noop_single_process():
     """num_processes <= 1 must not touch the distributed runtime (the
     single-host path calls this unconditionally)."""
