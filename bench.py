@@ -28,6 +28,12 @@ Env:
                                (shard_map TP path) — for multi-chip rounds;
                                requires D*M <= len(jax.devices())
   BENCH_KV_QUANT=1             int8 KV cache (metric names gain _kvq)
+  BENCH_TINY=1                 smoke mode: small model + short workloads so
+                               CI can execute the full bench code path
+                               (incl. BENCH_MESH) on a virtual CPU mesh —
+                               keeps the multi-chip bench warm so the first
+                               real multi-chip round measures scaling
+                               instead of debugging the bench
 """
 
 import json
@@ -59,6 +65,13 @@ BASELINE_TOKENS_PER_SEC = 125.0  # Q4_0 anchor: 8 ms/token, reference README.md:
 # against the same per-token rate (BASELINE.md publishes decode only)
 PROMPT = list(range(2, 18))
 
+TINY = os.environ.get("BENCH_TINY", "0") == "1"
+# smoke-mode workload sizes (full-model sizes otherwise)
+DECODE_SHORT, DECODE_LONG = (8, 24) if TINY else (64, 320)
+PREFILL_LEN = 32 if TINY else 512
+SERVE_PRED = 8 if TINY else 48
+SERVE_SEQ = 64 if TINY else 512
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -80,8 +93,10 @@ def bench_decode(eng: Engine, qname: str, repeats: int = 3) -> float:
     land its two runs in different states and corrupt the subtraction.
     Interleaved repeats + median bound both failure modes.
     """
-    gen_s = GenerationParams(n_predict=64, temp=0.0, stop_at_eos=False)
-    gen_l = GenerationParams(n_predict=320, temp=0.0, stop_at_eos=False)
+    gen_s = GenerationParams(n_predict=DECODE_SHORT, temp=0.0,
+                             stop_at_eos=False)
+    gen_l = GenerationParams(n_predict=DECODE_LONG, temp=0.0,
+                             stop_at_eos=False)
     eng.generate(PROMPT, gen_s)
     samples = []
     absolutes = []
@@ -118,7 +133,7 @@ def bench_prefill(eng: Engine, qname: str) -> None:
     (serving refill, batch scoring) ever pays; the device program itself
     runs in ~4.5 ms (profiled). Marginal long-minus-short cancels the fixed
     dispatch/fetch tail."""
-    n_prompt = 512
+    n_prompt = PREFILL_LEN
     ids = np.arange(2, 2 + n_prompt) % 40000
     for _ in range(3):   # compile + warm the 512 bucket
         logits, cache, _ = eng.prefill(eng.new_cache(), ids)
@@ -154,16 +169,17 @@ def bench_serving(params, config, qname: str, single_stream_tok_s: float,
                   mesh=None, kv_quant: bool = False) -> None:
     from biogpt_tpu.runtime.serving import BatchedEngine, Request
 
-    B, n_pred = 8, 48
+    B, n_pred = 8, SERVE_PRED
     be = BatchedEngine(config, params, max_batch=B,
-                       compute_dtype=jnp.bfloat16, max_seq=512, chunk=16,
-                       mesh=mesh, kv_quant=kv_quant)
+                       compute_dtype=jnp.bfloat16, max_seq=SERVE_SEQ,
+                       chunk=16, mesh=mesh, kv_quant=kv_quant)
     rng = np.random.default_rng(0)
+    vmax = config.n_vocab - 2
 
     def make_reqs(n):
-        return [Request(prompt_ids=[2] + rng.integers(4, 40000, size=int(
-            rng.integers(4, 24))).tolist(), n_predict=n_pred, request_id=i)
-            for i in range(n)]
+        return [Request(prompt_ids=[2] + rng.integers(4, min(40000, vmax),
+            size=int(rng.integers(4, 24))).tolist(), n_predict=n_pred,
+            request_id=i) for i in range(n)]
 
     gen = GenerationParams(temp=0.0, stop_at_eos=False)
     # Warm with REFILL-shaped traffic (3B requests exercises the refill
@@ -180,30 +196,53 @@ def bench_serving(params, config, qname: str, single_stream_tok_s: float,
         dt = time.perf_counter() - t0
         return sum(len(r.new_ids) for r in results.values()), dt
 
+    def median(xs):
+        return sorted(xs)[len(xs) // 2]
+
     # ABSOLUTE aggregate (all generated tokens / total wall for a 48-request
-    # batch, prefills and drains included), median of 3 runs. A marginal
-    # (long-minus-short) formulation was tried and abandoned: chip-state
-    # drift between serve() calls exceeds the subtraction's signal (one
-    # recorded sample was negative). Absolute is also the honest number a
-    # serving operator cares about.
-    absolutes = []
-    for r in range(3):
-        toks, dt = run(6 * B)
-        absolutes.append(toks / dt)
+    # batch, prefills and drains included), median of 5 runs (3 left a
+    # ~1,500 tok/s spread on this shared chip — too loose to detect a 15%
+    # regression; VERDICT r2 #7). A marginal (long-minus-short) formulation
+    # was tried and abandoned: chip-state drift between serve() calls
+    # exceeds the subtraction's signal (one recorded sample was negative).
+    # Absolute is also the honest number a serving operator cares about.
+    absolutes, dts6 = [], []
+    toks6 = 0
+    for r in range(5):
+        toks6, dt = run(6 * B)
+        absolutes.append(toks6 / dt)
+        dts6.append(dt)
         log(f"serving[{r}]: {absolutes[-1]:.1f} absolute aggregate tok/s")
-    agg = sorted(absolutes)[len(absolutes) // 2]
+    agg = median(absolutes)
+    # secondary metric: steady-state marginal rate (double-workload minus
+    # single-workload medians — the fixed ramp + final-drain tail cancels).
+    # This is the device-bound number the refill/step optimizations move;
+    # the absolute aggregate above also carries the per-serve fixed cost.
+    dts12 = []
+    toks12 = 0
+    for r in range(3):
+        toks12, dt = run(12 * B)
+        dts12.append(dt)
+    marginal = (toks12 - toks6) / max(median(dts12) - median(dts6), 1e-9)
+    log(f"serving marginal (12B-6B medians): {marginal:.1f} tok/s")
+    # smoke mode's marginal single-stream rate is degenerate (near-zero
+    # subtraction on CPU) — don't report a nonsense ratio there
+    x_single = (round(agg / single_stream_tok_s, 2)
+                if not TINY and single_stream_tok_s > 1 else None)
     log(f"serving: median {agg:.1f} tok/s absolute aggregate at B={B} "
-        f"over {6 * B} reqs ({agg / max(single_stream_tok_s, 1e-9):.2f}x "
-        f"the single-stream marginal rate)")
+        f"over {6 * B} reqs ({x_single}x the single-stream marginal rate)")
     emit(f"{qname}_serving_agg_tokens_per_sec", agg, "tokens/s",
          BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
          batch_slots=B, n_requests=6 * B,
          spread=[round(s, 1) for s in sorted(absolutes)],
-         x_single_stream=round(agg / max(single_stream_tok_s, 1e-9), 2))
+         x_single_stream=x_single,
+         marginal_tokens_per_sec=round(marginal, 1))
 
 
 def main() -> int:
-    config = BioGptConfig()
+    config = (BioGptConfig.tiny(d_model=512, d_ff=512, n_head=4, n_layer=2,
+                                n_vocab=300, n_positions=64)
+              if TINY else BioGptConfig())
     qname = os.environ.get("BENCH_QTYPE", "q4_0")
     use_pallas = os.environ.get("BENCH_PACK_Q4", "1") == "1"
     log(f"devices: {jax.devices()}")
@@ -230,7 +269,7 @@ def main() -> int:
     log(f"megakernel={eng._fused_decode}; warming up (compile ~20-40s/program"
         f" + one-time deep-queue warmup, can take minutes)...")
     t0 = time.perf_counter()
-    eng.warmup(prompt_len=len(PROMPT), n_tokens=320, sampled=False)
+    eng.warmup(prompt_len=len(PROMPT), n_tokens=DECODE_LONG, sampled=False)
     log(f"warmup: {time.perf_counter() - t0:.1f}s")
 
     single_marginal = bench_decode(eng, qname)

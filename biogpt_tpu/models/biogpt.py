@@ -103,7 +103,7 @@ def _attention(
         v = _project(x, layer_params["v"], compute_dtype, allow_pallas)
 
     # the cache keeps the flat (B, N, D) rows (heads are contiguous in D)
-    cache = update_layer(cache, layer_ix, k, v, past)
+    cache = update_layer(cache, layer_ix, k, v, past, tp_axis=tp_axis)
     q = q.reshape(B, N, H, Dk)
     k = k.reshape(B, N, H, Dk)
     v = v.reshape(B, N, H, Dk)

@@ -31,7 +31,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..quant.layouts import QuantizedTensor
-from ..runtime.cache import KVCache
+from ..runtime.cache import KVCache, QuantKVCache
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -82,13 +82,22 @@ def param_pspecs(params: dict) -> dict:
     }
 
 
-def cache_pspec(batch_shardable: bool = True) -> KVCache:
+def cache_pspec(batch_shardable: bool = True, quant: bool = False):
     """(L, B, S, D): batch over data (when divisible), d_model over model.
 
     Heads are contiguous in the flat d_model axis, so sharding D by the
     model axis IS head sharding (each shard owns n_head/tp whole heads —
-    column-parallel q/k/v produce exactly these rows locally)."""
-    spec = P(None, DATA_AXIS if batch_shardable else None, None, MODEL_AXIS)
+    column-parallel q/k/v produce exactly these rows locally).
+
+    int8 KV (``quant``): the level planes shard like the dense cache; the
+    per-row scale planes (L, B, 1, S) have no d_model axis and REPLICATE
+    over "model" — every shard computes the identical full-row absmax
+    (``cache.quantize_rows`` pmaxes it), so replication is exact."""
+    dspec = DATA_AXIS if batch_shardable else None
+    spec = P(None, dspec, None, MODEL_AXIS)
+    if quant:
+        sspec = P(None, dspec, None, None)
+        return QuantKVCache(k=spec, v=spec, ks=sspec, vs=sspec)
     return KVCache(k=spec, v=spec)
 
 
@@ -139,11 +148,14 @@ def shard_params(params: dict, mesh: Mesh):
     return jax.tree.unflatten(treedef, placed)
 
 
-def cache_shardings(mesh: Mesh, batch: int = 1) -> KVCache:
-    spec = cache_pspec(batch_shardable=batch % mesh.shape[DATA_AXIS] == 0)
-    return KVCache(k=NamedSharding(mesh, spec.k), v=NamedSharding(mesh, spec.v))
+def cache_shardings(mesh: Mesh, batch: int = 1, quant: bool = False):
+    spec = cache_pspec(batch_shardable=batch % mesh.shape[DATA_AXIS] == 0,
+                       quant=quant)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                        is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    s = cache_shardings(mesh, batch=cache.batch)
-    return KVCache(k=jax.device_put(cache.k, s.k), v=jax.device_put(cache.v, s.v))
+def shard_cache(cache: KVCache, mesh: Mesh):
+    s = cache_shardings(mesh, batch=cache.batch,
+                        quant=isinstance(cache, QuantKVCache))
+    return jax.tree.map(jax.device_put, cache, s)

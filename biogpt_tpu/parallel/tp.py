@@ -45,7 +45,7 @@ from ..models.biogpt import forward
 from ..ops.pallas_qmatmul import _LANES
 from ..quant.codecs import QK
 from ..quant.layouts import QuantizedTensor, pack_nibble_planes
-from ..runtime.cache import KVCache
+from ..runtime.cache import KVCache, QuantKVCache
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -249,8 +249,17 @@ def make_tp_forward(mesh: Mesh, seq_parallel: bool = True):
                    last_index=None):
         B = tokens.shape[0]
         dspec = DATA_AXIS if (dp > 1 and B % dp == 0) else None
-        cache_spec = KVCache(k=P(None, dspec, None, MODEL_AXIS),
-                             v=P(None, dspec, None, MODEL_AXIS))
+        kv = P(None, dspec, None, MODEL_AXIS)
+        if isinstance(cache, QuantKVCache):
+            # int8 levels shard like the dense cache; the per-row scale
+            # planes have no d_model axis and replicate over "model" —
+            # exact, because quantize_rows pmaxes the absmax so every
+            # shard writes the identical full-row scale
+            cache_spec = QuantKVCache(k=kv, v=kv,
+                                      ks=P(None, dspec, None, None),
+                                      vs=P(None, dspec, None, None))
+        else:
+            cache_spec = KVCache(k=kv, v=kv)
         pspecs = tp_pspecs(params)
 
         def vec_spec(x):

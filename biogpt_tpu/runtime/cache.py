@@ -81,10 +81,19 @@ def init_cache(
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def quantize_rows(x: jax.Array):
-    """(…, D) float -> (int8 levels, (…,) f32 scales): per-row absmax/127."""
+def quantize_rows(x: jax.Array, tp_axis: str | None = None):
+    """(…, D) float -> (int8 levels, (…,) f32 scales): per-row absmax/127.
+
+    ``tp_axis``: under shard_map tensor parallelism each shard holds a
+    d_model slice of the row, so the absmax is completed with a ``pmax``
+    over the model axis — every shard then quantizes its slice with the
+    SAME (full-row) scale, making the sharded int8 cache bit-identical to
+    the single-device one (max is order-independent, unlike a sum)."""
     x = x.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(x), axis=-1) / 127.0
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    if tp_axis is not None:
+        amax = jax.lax.pmax(amax, tp_axis)
+    scale = amax / 127.0
     safe = jnp.maximum(scale, 1e-12)
     q = jnp.clip(jnp.round(x / safe[..., None]), -127, 127).astype(jnp.int8)
     return q, scale
@@ -106,17 +115,22 @@ def dequant_layer(cache: QuantKVCache, layer: int, S: int, dtype):
 
 
 def update_layer(
-    cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array, past: jax.Array
+    cache: KVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
+    past: jax.Array, tp_axis: str | None = None,
 ) -> KVCache:
     """Write (batch, n_new, d_model) into one layer's cache.
 
     ``past`` may be a scalar (all rows at the same offset — single-sequence
     decode/prefill) or a (batch,) vector of per-sequence offsets
-    (continuous batching: each slot has its own length).
+    (continuous batching: each slot has its own length). ``tp_axis`` names
+    the shard_map model axis for int8-KV row quantization (see
+    :func:`quantize_rows`); dense caches ignore it (their writes are
+    shard-local by construction).
     """
     past = jnp.asarray(past, jnp.int32)
     if isinstance(cache, QuantKVCache):
-        return _update_layer_quant(cache, layer, k_new, v_new, past)
+        return _update_layer_quant(cache, layer, k_new, v_new, past,
+                                   tp_axis=tp_axis)
     if past.ndim == 0:
         # uniform offset: one contiguous dynamic_update_slice
         k_new = k_new.astype(cache.k.dtype)[None]
@@ -149,11 +163,11 @@ def update_layer(
 
 def _update_layer_quant(
     cache: QuantKVCache, layer: int, k_new: jax.Array, v_new: jax.Array,
-    past: jax.Array,
+    past: jax.Array, tp_axis: str | None = None,
 ) -> QuantKVCache:
     """Quantize (batch, n_new, d_model) rows and write levels + scales."""
-    kq, ksc = quantize_rows(k_new)                      # (B, N) scales
-    vq, vsc = quantize_rows(v_new)
+    kq, ksc = quantize_rows(k_new, tp_axis)             # (B, N) scales
+    vq, vsc = quantize_rows(v_new, tp_axis)
     zero = jnp.zeros((), jnp.int32)
     lix = jnp.asarray(layer, jnp.int32)
     if past.ndim == 0:

@@ -177,12 +177,11 @@ class Engine:
             params = _pack_matmul_weights(params)
 
         # int8 KV (opt-in): levels + per-row absmax scales, half the KV HBM
-        # traffic of bf16 — see runtime/cache.QuantKVCache. Works on both
-        # the megakernel and per-op paths; not yet under a mesh (the quant
-        # cache has no sharding specs).
+        # traffic of bf16 — see runtime/cache.QuantKVCache. Works on the
+        # megakernel, per-op, and mesh paths (sharded: levels over d_model,
+        # scale planes replicated; quantize_rows pmaxes the absmax so the
+        # sharded cache is bit-identical to single-device).
         if kv_quant:
-            if mesh is not None:
-                raise NotImplementedError("kv_quant under a mesh")
             if cache_dtype not in (None, jnp.int8):
                 raise ValueError("kv_quant forces an int8 cache")
             cache_dtype = jnp.int8

@@ -131,10 +131,10 @@ class BatchedEngine:
             params = _pack_matmul_weights(params)
         # int8 KV (opt-in): halves KV HBM traffic — the dominant byte
         # stream of long-window lockstep decode (~400 MB/step of bf16 KV at
-        # B=8, S=512 vs ~170 MB of packed weights).
+        # B=8, S=512 vs ~170 MB of packed weights). Mesh-capable: levels
+        # shard over d_model, scale planes replicate (exact — see
+        # cache.quantize_rows).
         if kv_quant:
-            if mesh is not None:
-                raise NotImplementedError("kv_quant under a mesh")
             if cache_dtype not in (None, jnp.int8):
                 raise ValueError("kv_quant forces an int8 cache")
             cache_dtype = jnp.int8
@@ -288,10 +288,17 @@ class BatchedEngine:
                     out_ix + 1, health)
 
         def step_scan(params, toks, cache, lengths, rng, temps, top_ps,
-                      top_ks, out_buf, live, *, n_steps: int, kv_window: int,
-                      use_fused: bool, all_greedy: bool):
+                      top_ks, first_buf, live, *, n_steps: int,
+                      kv_window: int, use_fused: bool, all_greedy: bool):
             """``n_steps`` lockstep steps under ONE dispatch (argument
-            binding costs ~0.7 ms/call on this runtime — see engine)."""
+            binding costs ~0.7 ms/call on this runtime — see engine).
+
+            Returns the drain-ready ``fetch`` vector directly — first
+            tokens, the (n_steps, B) token block, and the chunk's health
+            bit in one flat array — so the host launches exactly one
+            program per chunk (the previous zeros+concatenate pair cost
+            two more dispatches per chunk)."""
+            out_buf = jnp.zeros((n_steps, self.B), jnp.int32)
             def body(carry, _):
                 toks, cache, lengths, rng, out_buf, out_ix, health = carry
                 return batched_step(params, toks, cache, lengths, rng,
@@ -302,12 +309,15 @@ class BatchedEngine:
                     jnp.bool_(True))
             (toks, cache, lengths, rng, out_buf, _, health), _ = jax.lax.scan(
                 body, init, None, length=n_steps)
-            return toks, cache, lengths, rng, out_buf, health
+            fetch = jnp.concatenate(
+                [first_buf, out_buf.reshape(-1),
+                 health.astype(jnp.int32)[None]])
+            return toks, cache, lengths, rng, fetch
 
         self._step_scan = jax.jit(
             step_scan, static_argnames=("n_steps", "kv_window", "use_fused",
                                         "all_greedy"),
-            donate_argnames=("cache", "out_buf"))
+            donate_argnames=("cache",))
 
 
     def _use_fused(self) -> bool:
@@ -691,24 +701,23 @@ class BatchedEngine:
             if not pairs:
                 return
             self.metrics.inc("requests_accepted", len(pairs))
-            # group by padded bucket so each group is one forward
-            by_bucket: Dict[int, list] = {}
-            for slot, req in pairs:
-                b = _bucket(len(req.prompt_ids))
-                by_bucket.setdefault(b, []).append((slot, req))
-            self.metrics.inc("refill_programs", len(by_bucket))
-            for group in by_bucket.values():
-                slot_state = (toks, lengths, first_buf, temps, top_ps,
-                              top_ks)
-                cache, slot_state, lens, rng = self._prefill_group(
-                    group, cache, rng, gen, slot_state)
-                (toks, lengths, first_buf, temps, top_ps,
-                 top_ks) = slot_state
-                for r, (slot, req) in enumerate(group):
-                    slot_req[slot] = req
-                    lengths_host[slot] = lens[r]
-                    sched_new[slot] = 1   # the prefill-sampled first token
-                    fresh_slots.append(slot)
+            # ONE program per refill wave: short prompts pad to the wave's
+            # max bucket. A per-bucket split was tried first (round 2) and
+            # measured worse — each refill program pays the full packed-
+            # weight dequant traffic (~3-4 ms device) no matter how few
+            # rows it prefills, so per-wave program count, not padded
+            # prefill FLOPs, is the cost that matters. Bucket shapes stay
+            # the same power-of-two family, so no extra programs compile.
+            self.metrics.inc("refill_programs", 1)
+            slot_state = (toks, lengths, first_buf, temps, top_ps, top_ks)
+            cache, slot_state, lens, rng = self._prefill_group(
+                pairs, cache, rng, gen, slot_state)
+            (toks, lengths, first_buf, temps, top_ps, top_ks) = slot_state
+            for r, (slot, req) in enumerate(pairs):
+                slot_req[slot] = req
+                lengths_host[slot] = lens[r]
+                sched_new[slot] = 1   # the prefill-sampled first token
+                fresh_slots.append(slot)
 
         try:
             drained_once = False
@@ -765,6 +774,10 @@ class BatchedEngine:
                 # slots compute garbage that the host simply doesn't emit.
                 # (Over-advanced garbage positions clamp inside
                 # dynamic_update_slice to the slot's own last cache row.)
+                # floor 128: a 64 floor was measured (round 3) and bought
+                # nothing — the B=8 step is not KV-bandwidth-bound below
+                # ~128 live rows — so the extra compiled scan per serve
+                # shape isn't paid for.
                 window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
                              self.max_seq)
                 # live intake always runs the per-request sampler (it handles
@@ -778,19 +791,15 @@ class BatchedEngine:
                 bound = [slot_req[b] if not slot_free(b) else None
                          for b in range(self.B)]
                 live = jnp.asarray([r is not None for r in bound])
-                out_buf = jnp.zeros((self.chunk, self.B), jnp.int32)
-                toks, cache, lengths, rng, out_buf, health = self._step_scan(
+                # ONE program per chunk; its ``fetch`` output carries first
+                # tokens + the whole chunk block + the chunk's health bit.
+                # Slots already free at launch snapshot as unbound so their
+                # garbage lanes can't reach a truncated request.
+                toks, cache, lengths, rng, fetch = self._step_scan(
                     self.params, toks, cache, lengths, rng, temps, top_ps,
-                    top_ks, out_buf, live, n_steps=self.chunk,
+                    top_ks, first_buf, live, n_steps=self.chunk,
                     kv_window=window, use_fused=self._use_fused(),
                     all_greedy=greedy_now)
-                # ONE array fetches first tokens + the whole chunk block +
-                # the chunk's health bit; slots already free at launch
-                # snapshot as unbound so their garbage lanes can't reach a
-                # truncated request
-                fetch = jnp.concatenate(
-                    [first_buf, out_buf.reshape(-1),
-                     health.astype(jnp.int32)[None]])
                 try:
                     # start the device->host copy NOW (behind this chunk only);
                     # by drain time next iteration it is already in flight

@@ -10,7 +10,24 @@ the weights reproduce across torch/transformers versions), loaded into HF
 engine against the file, so a numerics regression at production scale
 fails CI without needing torch at test time.
 
+``--quant`` additionally records QUANTIZED (Q4_0 + Q4_1) greedy
+continuations at the same full configuration. The oracle chain: the f32
+golden anchors seed-7 weights against HF; the codecs are bit-exact against
+the independent C++ implementation (tests/test_native.py); so our engine's
+quantized greedy output over those weights is the reference for itself —
+committing it locks full-scale quantized numerics (the XLA per-op f32
+path, replayable in CPU CI) against regressions.
+
+``--tpu-bf16`` records the PRODUCTION path's continuation — bf16 compute,
+packed planes, whole-model Pallas megakernel — and must run on the real
+chip (the 347M megakernel is infeasible under CPU interpret). Checked by
+``python -m biogpt_tpu.tools.check_goldens_tpu`` on TPU; CPU CI covers the
+megakernel-vs-oracle equivalence at tiny scale instead
+(tests/test_pallas_decode.py).
+
 Usage: python -m biogpt_tpu.tools.make_goldens [out.npz]
+       python -m biogpt_tpu.tools.make_goldens --quant [out.npz]
+       python -m biogpt_tpu.tools.make_goldens --tpu-bf16 [out.npz]
 """
 
 from __future__ import annotations
@@ -24,14 +41,93 @@ SEED = 7
 SCALE = 0.1   # 0.02-scale weights collapse to a constant echo continuation
 PROMPT = [2, 431, 88, 2901, 17, 1512, 40960, 233, 11, 5, 92, 1203]
 N_NEW = 24
+QTYPES = ("q4_0", "q4_1")
+N_NEW_Q = 12      # per-step CPU cost at 347M is real; 12 tokens lock plenty
+
+
+def _goldens_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "tests", "goldens")
+
+
+def _quant_engine(qname: str, compute_dtype, pack: bool):
+    import jax.numpy as jnp
+
+    from ..config import BioGptConfig
+    from ..modelio.checkpoint import params_from_state_dict
+    from ..modelio.synthetic import make_state_dict
+    from ..quant.codecs import GGML_TYPE_BY_NAME
+    from ..runtime.engine import Engine
+
+    config = BioGptConfig()
+    sd = make_state_dict(config, seed=SEED, scale=SCALE)
+    params = params_from_state_dict(sd, config,
+                                    qtype=GGML_TYPE_BY_NAME[qname])
+    cache_dtype = None if pack else jnp.float32
+    return Engine(config, params, compute_dtype=compute_dtype,
+                  cache_dtype=cache_dtype, max_seq=64, donate_cache=False,
+                  pack_q4=pack)
+
+
+def make_quant_goldens(out: str) -> int:
+    """CPU-replayable quantized goldens (XLA per-op f32 path)."""
+    import jax.numpy as jnp
+
+    from ..config import GenerationParams
+
+    data = {"seed": np.int32(SEED), "scale": np.float32(SCALE),
+            "prompt": np.asarray(PROMPT, np.int32)}
+    gen = GenerationParams(n_predict=N_NEW_Q, temp=0.0, stop_at_eos=False)
+    for qname in QTYPES:
+        eng = _quant_engine(qname, jnp.float32, pack=False)
+        res = eng.generate(PROMPT, gen, stream_cb=lambda _: None)
+        data[f"{qname}_greedy_ids"] = np.asarray(res.ids, np.int32)
+        print(f"{qname}: {res.ids[len(PROMPT):]}")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez_compressed(out, **data)
+    print(f"wrote {out}")
+    return 0
+
+
+def make_tpu_bf16_goldens(out: str) -> int:
+    """Production-path goldens: packed planes + bf16 + megakernel, on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import GenerationParams
+
+    assert jax.default_backend() == "tpu", (
+        "--tpu-bf16 must run on the real chip (use --quant for the CPU-"
+        "replayable goldens)")
+    data = {"seed": np.int32(SEED), "scale": np.float32(SCALE),
+            "prompt": np.asarray(PROMPT, np.int32),
+            "device": str(jax.devices()[0])}
+    gen = GenerationParams(n_predict=N_NEW_Q, temp=0.0, stop_at_eos=False)
+    for qname in QTYPES:
+        eng = _quant_engine(qname, jnp.bfloat16, pack=True)
+        assert eng._fused_decode, "megakernel must engage for this golden"
+        res = eng.generate(PROMPT, gen, stream_cb=lambda _: None)
+        data[f"{qname}_greedy_ids"] = np.asarray(res.ids, np.int32)
+        print(f"{qname} (bf16 megakernel): {res.ids[len(PROMPT):]}")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez_compressed(out, **data)
+    print(f"wrote {out}")
+    return 0
 
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "--quant":
+        out = argv[1] if len(argv) > 1 else os.path.join(
+            _goldens_dir(), f"own347m_seed{SEED}_quant.npz")
+        return make_quant_goldens(out)
+    if argv and argv[0] == "--tpu-bf16":
+        out = argv[1] if len(argv) > 1 else os.path.join(
+            _goldens_dir(), f"tpu347m_seed{SEED}_bf16.npz")
+        return make_tpu_bf16_goldens(out)
     out = argv[0] if argv else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "tests", "goldens", f"hf347m_seed{SEED}.npz")
+        _goldens_dir(), f"hf347m_seed{SEED}.npz")
 
     import torch
     from transformers import BioGptConfig as HFConfig

@@ -215,11 +215,59 @@ def test_serving_kv_quant_matches_engine_kv_quant(params_f32):
         assert results[i].ids == expect, (i, results[i].ids, expect)
 
 
-def test_engine_rejects_kv_quant_with_mesh(params_f32):
+def test_engine_kv_quant_tp_mesh_matches(params_f32):
+    """int8 KV under the shard_map TP mesh == single-device int8 KV,
+    token-identical: quantize_rows completes the row absmax with a pmax
+    over the model axis, so every shard writes the same scale and the
+    sharded cache is bit-identical (VERDICT r2 #4: gate lifted)."""
     from biogpt_tpu.parallel import make_mesh
 
-    with pytest.raises(NotImplementedError):
-        Engine(CFG, params_f32, mesh=make_mesh(1, 1), kv_quant=True)
+    gen = GenerationParams(n_predict=8, temp=0.0, stop_at_eos=False)
+    prompt = [2, 10, 25, 48]
+    base = Engine(CFG, params_f32, compute_dtype=jnp.float32,
+                  kv_quant=True).generate(prompt, gen).ids
+    par = Engine(CFG, params_f32, compute_dtype=jnp.float32,
+                 mesh=make_mesh(1, 2), kv_quant=True)
+    assert par._tp_fwd is not None    # the shard_map TP path is live
+    assert isinstance(par.new_cache(), QuantKVCache)
+    assert par.generate(prompt, gen).ids == base
+
+
+def test_engine_kv_quant_gspmd_mesh_matches(params_f32):
+    """int8 KV on a mesh the TP path cannot divide (n_head=2, tp=4) takes
+    the GSPMD route and still matches single-device."""
+    from biogpt_tpu.parallel import make_mesh
+
+    gen = GenerationParams(n_predict=8, temp=0.0, stop_at_eos=False)
+    prompt = [2, 10, 25, 48]
+    base = Engine(CFG, params_f32, compute_dtype=jnp.float32,
+                  kv_quant=True).generate(prompt, gen).ids
+    par = Engine(CFG, params_f32, compute_dtype=jnp.float32,
+                 mesh=make_mesh(2, 4), kv_quant=True)
+    assert par._tp_fwd is None        # GSPMD fallback
+    assert par.generate(prompt, gen).ids == base
+
+
+def test_serving_kv_quant_mesh_matches(params_f32):
+    """Batched int8-KV serving over a TP mesh == single-device int8-KV
+    single-stream generation, token for token."""
+    from biogpt_tpu.parallel import make_mesh
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    eng = Engine(CFG, params_f32, compute_dtype=jnp.float32, kv_quant=True)
+    be = BatchedEngine(CFG, params_f32, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4,
+                       mesh=make_mesh(1, 2), kv_quant=True)
+    assert be._tp
+    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+    prompts = [[2, 5, 9], [2, 11, 30, 41, 8], [2, 7]]
+    reqs = [Request(prompt_ids=p, n_predict=5, request_id=i)
+            for i, p in enumerate(prompts)]
+    results = be.serve(reqs, gen)
+    for i, p in enumerate(prompts):
+        expect = eng.generate(
+            p, GenerationParams(n_predict=5, temp=0.0, stop_at_eos=False)).ids
+        assert results[i].ids == expect, (i, results[i].ids, expect)
 
 
 def test_per_op_forward_int8_bf16_compute(params_f32):
