@@ -272,7 +272,7 @@ def forward(
 
 def forward_fused_decode(
     params: dict,
-    tokens: jax.Array,           # (B, 1) int32, B <= 8
+    tokens: jax.Array,           # (B, 1) int32, B <= 32
     cache: KVCache,
     past: jax.Array,             # scalar int32, or (B,) per-slot positions
     config: BioGptConfig,
@@ -289,7 +289,7 @@ def forward_fused_decode(
     but the layer stack runs as ONE kernel (ops/pallas_decode.py): only
     embedding, the KV-row writes, final LN, lm_head and the logits slice
     remain as XLA ops — decode is op-issue bound on this runtime. Batched
-    serving (B <= 8) passes per-slot ``past`` positions.
+    serving (B <= 32) passes per-slot ``past`` positions.
     """
     x, cache = _fused_decode_hidden(
         params, tokens, cache, past, config, kv_window=kv_window,
@@ -304,7 +304,7 @@ def forward_fused_decode(
 
 def forward_fused_decode_greedy(
     params: dict,
-    tokens: jax.Array,           # (B, 1) int32, B <= 8
+    tokens: jax.Array,           # (B, 1) int32, B <= 32
     cache: KVCache,
     past: jax.Array,             # scalar int32, or (B,) per-slot positions
     config: BioGptConfig,
@@ -361,7 +361,7 @@ def _fused_decode_hidden(
     from ..ops.pallas_decode import decode_step_fused
 
     B, N = tokens.shape
-    assert N == 1 and B <= 8, "megakernel path is decode with B <= 8"
+    assert N == 1 and B <= 32, "megakernel path is decode with B <= 32"
     emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
     past_vec = jnp.broadcast_to(
         jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))

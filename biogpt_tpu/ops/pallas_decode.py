@@ -43,7 +43,7 @@ GELU is exact-erf GELU (HF BioGPT parity) via the Abramowitz-Stegun 7.1.26
 polynomial (|erf err| < 1.5e-7 — far below bf16 activation rounding);
 Mosaic has no native erf.
 
-Batched serving (2 <= B <= 8) runs the same grid with a batched kernel
+Batched serving (2 <= B <= 32) runs the same grid with a batched kernel
 variant: per-slot positions arrive as an SMEM vector, attention runs one
 2-D MXU dot per slot against its own cache rows (head-batched AND
 batch-batched dot_general are both Mosaic-hostile), and the online-softmax
@@ -52,9 +52,12 @@ switch formulation: at M rows the X'-trick costs M times the MXU work, so
 the batched path materializes the dequantized weight tile in VMEM instead
 — scales expand to rows via a block-diagonal 0/1 expansion matmul (exact:
 each output is a sum of ONE scale term) and a single (M, d_in) x (d_in,
-tile) dot serves all rows, amortizing dequant over the batch.
+tile) dot serves all rows, amortizing dequant over the batch. Weight bytes
+amortize over slots, so per-slot-token cost falls nearly linearly until KV
+reads dominate (measured round 3: 0.078 ms/slot-token at B=8 -> 0.038 at
+B=16, W=128).
 
-Constraints: batch <= 8, N=1 (decode), bf16 KV cache, lane-aligned dims.
+Constraints: batch <= 32, N=1 (decode), bf16 KV cache, lane-aligned dims.
 Prefill keeps the per-op paths.
 """
 
@@ -184,16 +187,42 @@ def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
+import os as _os
+
+# How _qmm_dq expands (nb, tile) block scales to (chunk, tile) rows:
+#   "dot"   — block-diagonal 0/1 matmul (exact; K=nb_c puts the MXU at
+#             nb_c/128 utilization)
+#   "bcast" — per-block sublane broadcast + concat (exact; VPU copies)
+# Both are numerically identical (each expanded entry IS one bf16 scale).
+# Measured (round 3, real chip): the batched kernel runs AT the
+# weight+KV traffic roofline with "dot" (0.63 ms/step = 0.28 weights +
+# 0.33 KV at B=8, W=128) — the expansion is hidden under DMA, so the
+# formulation is not on the critical path; "dot" stays the default.
+_SEXP_MODE = _os.environ.get("BIOGPT_SEXP", "dot")
+
+
+def _expand_blocks(plane, nb_c: int):
+    """(nb_c, T) bf16 -> (nb_c*QK, T) f32: row n fills rows n*QK..n*QK+31."""
+    if _SEXP_MODE == "bcast":
+        T = plane.shape[-1]
+        return jnp.concatenate(
+            [jnp.broadcast_to(plane[n:n + 1, :].astype(jnp.float32),
+                              (QK, T)) for n in range(nb_c)], axis=0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nb_c * QK, nb_c), 0) // QK
+    nn = jax.lax.broadcasted_iota(jnp.int32, (nb_c * QK, nb_c), 1)
+    expand = (kk == nn).astype(jnp.bfloat16)              # (chunk, nb_c)
+    return jnp.dot(expand, plane, preferred_element_type=jnp.float32)
+
+
 def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
             five_bit: bool = False):
     """(M, d_in) bf16 @ quantized planes -> (M, d_out) f32, dequant-then-dot.
 
     The M>1 formulation (see module docstring): per (chunk, tile) piece the
-    scales expand to d_in rows with a block-diagonal 0/1 matmul E (chunk,
-    nb_c) — each expanded entry is a sum of exactly one bf16 scale, so the
-    expansion is EXACT — the weight piece dequantizes in f32, rounds once
-    to bf16 (same numerics as pallas_qmatmul), and one MXU dot serves all
-    M activation rows.
+    scales expand to d_in rows (``_expand_blocks`` — each expanded entry is
+    exactly one bf16 scale, so the expansion is EXACT), the weight piece
+    dequantizes in f32, rounds once to bf16 (same numerics as
+    pallas_qmatmul), and one MXU dot serves all M activation rows.
     """
     M, d_in = h_bf.shape
     d_out = sc_ref.shape[-1]
@@ -201,9 +230,6 @@ def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
     chunk = min(d_in, _CHUNK_BLOCKS * QK)
     n_chunks = d_in // chunk
     nb_c = chunk // QK
-    kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 0) // QK
-    nn = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 1)
-    expand = (kk == nn).astype(jnp.bfloat16)              # (chunk, nb_c)
 
     outs = []
     for t0 in range(0, d_out, tile):
@@ -215,17 +241,15 @@ def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
         acc = None
         for c in range(n_chunks):
             b0 = c * nb_c
-            sexp = jnp.dot(expand,
-                           sc_ref[0, b0:b0 + nb_c, t0:t0 + tile].astype(
-                               jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+            sexp = _expand_blocks(
+                sc_ref[0, b0:b0 + nb_c, t0:t0 + tile].astype(jnp.bfloat16),
+                nb_c)
             w = (lvt[c * chunk:(c + 1) * chunk, :].astype(jnp.float32)
                  - float(offset)) * sexp
             if mn_ref is not None:
-                w = w + jnp.dot(
-                    expand,
-                    mn_ref[0, b0:b0 + nb_c, t0:t0 + tile].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+                w = w + _expand_blocks(
+                    mn_ref[0, b0:b0 + nb_c, t0:t0 + tile].astype(
+                        jnp.bfloat16), nb_c)
             part = jnp.dot(h_bf[:, c * chunk:(c + 1) * chunk],
                            w.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
@@ -360,7 +384,7 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
 
 def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
                          five_bit, has_mins, kv_quant=False):
-    """Batched (B <= 8) variant of :func:`_make_kernel`.
+    """Batched (B <= 32) variant of :func:`_make_kernel`.
 
     Differences from the single-stream kernel: ``past`` is a per-slot SMEM
     vector; Q/K/V rows are (B, D); the block-diagonal Q trick is applied
@@ -706,7 +730,7 @@ def _kv_block_paged(window: int) -> int:
 
 def supports_layers(layers: dict, cache_dtype, batch: int, n_new: int) -> bool:
     """Whether the megakernel path applies to these engine-packed layers."""
-    if not 1 <= batch <= 8 or n_new != 1 or cache_dtype != jnp.bfloat16:
+    if not 1 <= batch <= 32 or n_new != 1 or cache_dtype != jnp.bfloat16:
         return False
     if "qkv" not in layers:
         return False

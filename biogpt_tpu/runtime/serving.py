@@ -139,7 +139,7 @@ class BatchedEngine:
                 raise ValueError("kv_quant forces an int8 cache")
             cache_dtype = jnp.int8
         # (downstream dispatch keys on cache_dtype / the cache pytree type)
-        # Batched whole-model megakernel (ops/pallas_decode.py): the B<=8
+        # Batched whole-model megakernel (ops/pallas_decode.py): the B<=32
         # lockstep decode step runs ALL layers as one kernel with per-slot
         # positions. Needs a bf16/int8 cache and fused+packed weights.
         from ..ops.pallas_decode import supports_layers

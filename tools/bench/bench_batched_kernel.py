@@ -19,7 +19,7 @@ params = _pack_matmul_weights(
     make_random_quantized_params(config, GGML_TYPE_BY_NAME["q4_0"], seed=0))
 layers = jax.device_put(params["layers"])
 
-for B in (1, 8):
+for B in (16, 24, 32):
     cache = init_cache(config, batch=B, max_len=512, dtype=jnp.bfloat16)
     x0 = jnp.ones((B, config.d_model), jnp.float32)
     past = jnp.full((B,), 64, jnp.int32)

@@ -26,13 +26,16 @@ from biogpt_tpu.runtime.serving import BatchedEngine, Request
 def main() -> int:
     import sys as _s
     chunk = int(_s.argv[1]) if len(_s.argv) > 1 else 16
+    kv_quant = "kvq" in _s.argv[2:]
+    B = int(_s.argv[3]) if len(_s.argv) > 3 else 8
     config = BioGptConfig()
     params = make_random_quantized_params(config, GGML_TYPE_BY_NAME["q4_0"],
                                           seed=0)
-    B, n_pred = 8, 48
-    print(f"chunk={chunk}", flush=True)
+    n_pred = 48
+    print(f"chunk={chunk} kv_quant={kv_quant} B={B}", flush=True)
     be = BatchedEngine(config, params, max_batch=B,
-                       compute_dtype=jnp.bfloat16, max_seq=512, chunk=chunk)
+                       compute_dtype=jnp.bfloat16, max_seq=512, chunk=chunk,
+                       kv_quant=kv_quant)
 
     # timestamp the last chunk launch
     last_launch = [0.0]
