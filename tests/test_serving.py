@@ -53,6 +53,21 @@ def test_more_requests_than_slots(tiny_params, single_engine):
         assert results[i].ids == _expected(single_engine, p, 4)
 
 
+def test_wide_slot_pool_matches_single(tiny_params, single_engine):
+    """B=12 slots (past the old B<=8 kernel cap): the lockstep scheduler,
+    refill scatter, and drain bindings stay correct with a wide pool and
+    more requests than slots."""
+    prompts = [[2, 3 + i, 11 + (i % 7), 5 + (i % 3)] for i in range(18)]
+    be = BatchedEngine(TINY, tiny_params, max_batch=12,
+                       compute_dtype=jnp.float32, chunk=3)
+    reqs = [Request(prompt_ids=p, n_predict=5, request_id=i)
+            for i, p in enumerate(prompts)]
+    results = be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    assert len(results) == 18
+    for i, p in enumerate(prompts):
+        assert results[i].ids == _expected(single_engine, p, 5), i
+
+
 def test_n_predict_respected(tiny_params):
     be = BatchedEngine(TINY, tiny_params, max_batch=2,
                        compute_dtype=jnp.float32, chunk=4)
