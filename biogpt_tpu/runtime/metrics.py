@@ -33,11 +33,25 @@ class ServingMetrics:
         self._c = {k: 0 for k in self._COUNTERS}
         self._serve_wall_s = 0.0
         self._last_serve = {}   # wall_s / tokens / tok_s of the last serve()
+        self._lat = {}          # kind -> [count, sum_s, max_s]
         self._started = time.time()
 
     def inc(self, name: str, n: int = 1) -> None:
         with self._lock:
             self._c[name] += n
+
+    # ---- per-request latency (accept -> first token / final token).
+    # Aggregated as count/sum/max so the stats endpoint stays O(1) — a
+    # full histogram would grow with traffic on a long-lived server.
+
+    def observe_latency(self, kind: str, seconds: float) -> None:
+        """kind: "ttft" (accept -> first generated token drained) or
+        "e2e" (accept -> final token drained)."""
+        with self._lock:
+            agg = self._lat.setdefault(kind, [0, 0.0, 0.0])
+            agg[0] += 1
+            agg[1] += seconds
+            agg[2] = max(agg[2], seconds)
 
     def serve_finished(self, wall_s: float, tokens: int) -> None:
         with self._lock:
@@ -55,4 +69,7 @@ class ServingMetrics:
             out["uptime_s"] = round(time.time() - self._started, 2)
             if self._last_serve:
                 out["last_serve"] = dict(self._last_serve)
+            for kind, (n, total, mx) in self._lat.items():
+                out[f"{kind}_mean_s"] = round(total / n, 4) if n else 0.0
+                out[f"{kind}_max_s"] = round(mx, 4)
         return out

@@ -485,11 +485,27 @@ class BatchedEngine:
         import threading
 
         state_lock = threading.Lock()
+        accept_t: Dict[int, float] = {}   # rid -> accept time (monotonic)
 
         def emit_token(rid: int, tid: int) -> None:
-            results[rid].ids.append(tid)
+            """Deliver one token (under state_lock). Also the per-request
+            latency taps: first generated token = TTFT, completing token =
+            end-to-end — measured at DRAIN time (when a caller could see
+            the token), not at schedule time."""
+            res = results[rid]
+            res.ids.append(tid)
             if on_token is not None:
                 on_token(rid, tid)
+            t0 = accept_t.get(rid)
+            if t0 is None:
+                return
+            now = time.monotonic()
+            if len(res.ids) - res.prompt_len == 1:
+                self.metrics.observe_latency("ttft", now - t0)
+            req = reqs_by_id.get(rid)
+            if req is not None and req_done(req):
+                accept_t.pop(rid, None)
+                self.metrics.observe_latency("e2e", now - t0)
 
         def notify() -> None:
             """Fire on_complete for requests whose final token has drained.
@@ -697,6 +713,7 @@ class BatchedEngine:
                         request_id=req.request_id, ids=list(req.prompt_ids),
                         prompt_len=len(req.prompt_ids))
                     reqs_by_id[req.request_id] = req
+                    accept_t[req.request_id] = time.monotonic()
                     pairs.append((slot, req))
             if not pairs:
                 return

@@ -181,8 +181,11 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--model", required=True, help="ggml-model .bin")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("-b", "--batch", type=int, default=8,
-                   help="lockstep batch slots")
+    p.add_argument("-b", "--batch", type=int, default=16,
+                   help="lockstep batch slots (kernel supports up to 32; "
+                        "weight reads amortize across slots, so aggregate "
+                        "throughput scales ~1.7x from 8->16 and ~2x from "
+                        "8->32 at the cost of per-step latency)")
     p.add_argument("--max-seq", type=int, default=None)
     p.add_argument("--temp", type=float, default=0.0,
                    help="default temperature (requests may override)")

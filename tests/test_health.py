@@ -98,6 +98,20 @@ def test_metrics_counters_track_a_serve(tiny_params):
     assert snap["serve_wall_s"] > 0
 
 
+def test_request_latency_metrics(tiny_params):
+    """TTFT and end-to-end latency aggregates appear in the snapshot and
+    are sane (ttft <= e2e, counts match completed requests)."""
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    reqs = [Request(prompt_ids=[2, 5, 9], n_predict=6, request_id=0),
+            Request(prompt_ids=[2, 7], n_predict=4, request_id=1)]
+    be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    snap = be.metrics.snapshot()
+    assert snap["ttft_mean_s"] > 0
+    assert snap["e2e_mean_s"] >= snap["ttft_mean_s"]
+    assert snap["e2e_max_s"] >= snap["e2e_mean_s"]
+
+
 def test_metrics_accumulate_across_serves(tiny_params):
     be = BatchedEngine(TINY, tiny_params, max_batch=2,
                        compute_dtype=jnp.float32, chunk=4)
