@@ -1,0 +1,264 @@
+"""Multi-host continuous-batching front: SPMD serving with one front door.
+
+SURVEY §2.1(d) requires continuous batching of generation requests
+"across hosts". The execution side already works multi-host — the engine
+and :class:`~.serving.BatchedEngine` run SPMD over a global mesh
+(tests/_dist_worker.py proves token-identity) — but SPMD means EVERY
+process must run the same scheduling decisions on the same request
+stream, and real requests arrive at one place (an HTTP port on one
+host). This module closes that gap:
+
+- Process 0 is the front door: ``submit()`` returns a
+  ``concurrent.futures.Future`` exactly like
+  :class:`~.serving.ServingScheduler` (the HTTP server binds to it
+  unchanged).
+- Every process runs the same serve loop; once per scheduling tick the
+  pending requests are replicated with ONE small
+  ``broadcast_one_to_all`` (requests encode to a fixed int32 buffer, so
+  the collective's shape is static). The engine's scheduling loop is
+  deterministic given the intake sequence, so all processes stay in
+  lockstep — the same jitted programs with the same global arrays, in
+  the same order.
+- Generation results are replicated device arrays; process 0 resolves
+  futures/streams tokens, workers discard them.
+
+Failure model: fail-fast SPMD (any process error kills the job — the
+jax.distributed baseline). The reference has no counterpart
+(single-process CPU, /root/reference/main.cpp); north-star scope.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import GenerationParams
+from .serving import BatchedEngine, Request
+
+# per-request header fields in the broadcast buffer:
+# request_id, prompt_len, n_predict, top_k(-1=inherit),
+# temp(f32 bits, -1=inherit), top_p(f32 bits, -1=inherit)
+_F = 6
+_NONE = -1
+
+
+def _f32_bits(x: float) -> int:
+    return int(np.float32(x).view(np.int32))
+
+
+def _bits_f32(b: int) -> float:
+    return float(np.int32(b).view(np.float32))
+
+
+def _encode(reqs: List[Request], stop: bool, max_reqs: int,
+            max_prompt: int) -> np.ndarray:
+    """[n_reqs, stop] header + (max_reqs, _F + max_prompt) rows, flat."""
+    buf = np.full((max_reqs, _F + max_prompt), _NONE, np.int32)
+    for r, req in enumerate(reqs):
+        ids = req.prompt_ids
+        buf[r, 0] = req.request_id
+        buf[r, 1] = len(ids)
+        buf[r, 2] = req.n_predict
+        buf[r, 3] = _NONE if req.top_k is None else req.top_k
+        buf[r, 4] = _NONE if req.temp is None else _f32_bits(req.temp)
+        buf[r, 5] = _NONE if req.top_p is None else _f32_bits(req.top_p)
+        buf[r, _F:_F + len(ids)] = ids
+    head = np.array([len(reqs), int(stop)], np.int32)
+    return np.concatenate([head, buf.ravel()])
+
+
+def _decode(flat: np.ndarray, max_reqs: int, max_prompt: int):
+    n, stop = int(flat[0]), bool(flat[1])
+    buf = flat[2:].reshape(max_reqs, _F + max_prompt)
+    reqs = []
+    for r in range(n):
+        plen = int(buf[r, 1])
+        reqs.append(Request(
+            prompt_ids=[int(t) for t in buf[r, _F:_F + plen]],
+            n_predict=int(buf[r, 2]),
+            request_id=int(buf[r, 0]),
+            top_k=None if buf[r, 3] == _NONE else int(buf[r, 3]),
+            temp=None if buf[r, 4] == _NONE else _bits_f32(buf[r, 4]),
+            top_p=None if buf[r, 5] == _NONE else _bits_f32(buf[r, 5]),
+        ))
+    return reqs, stop
+
+
+class DistributedScheduler:
+    """Long-lived multi-host serving loop over one :class:`BatchedEngine`.
+
+    Every process constructs this with the SAME engine configuration and
+    calls :meth:`run` (workers block in it; process 0 runs it on an
+    internal thread automatically). Process 0 additionally calls
+    :meth:`submit` / :meth:`close` — the same surface as
+    :class:`~.serving.ServingScheduler`, so ``server.BioGptServer`` works
+    on top unchanged.
+
+    ``max_reqs_per_tick`` × ``max_prompt`` fixes the broadcast buffer
+    shape (one collective compiles once); ``poll_s`` paces the idle tick.
+    """
+
+    def __init__(self, engine: BatchedEngine,
+                 gen: GenerationParams | None = None,
+                 max_reqs_per_tick: int = 8,
+                 max_prompt: Optional[int] = None,
+                 poll_s: float = 0.05):
+        import jax
+
+        self.engine = engine
+        self.gen = gen or GenerationParams(temp=0.0)
+        # SPMD determinism: every process must use the same sampling seed
+        # (serve() falls back to time() for seed<0, which diverges across
+        # hosts) — broadcast process 0's choice once at construction.
+        from jax.experimental import multihost_utils
+        seed = self.gen.seed if self.gen.seed >= 0 else int(time.time())
+        self.gen.seed = int(multihost_utils.broadcast_one_to_all(
+            np.int32(seed)))
+        self.max_reqs = max_reqs_per_tick
+        self.max_prompt = max_prompt or engine.max_seq
+        self.poll_s = poll_s
+        self.is_primary = jax.process_index() == 0
+
+        self._lock = threading.Lock()
+        self._pending: List = []     # (Request, Future, on_token) — proc 0
+        self._futures = {}
+        self._streams = {}
+        self._next_id = 0
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        if self.is_primary:
+            self._thread = threading.Thread(
+                target=self.run, name="biogpt-dist-serving", daemon=True)
+            self._thread.start()
+
+    # ------------------------------------------------------------- intake
+
+    def submit(self, prompt_ids: List[int], n_predict: int = 64,
+               temp: Optional[float] = None, top_k: Optional[int] = None,
+               top_p: Optional[float] = None, on_token=None):
+        """Process 0 only: enqueue one generation -> Future[RequestResult].
+
+        Prompts longer than ``max_prompt`` and floods beyond the tick
+        buffer are back-pressured by the fixed broadcast shape (extras
+        wait for the next tick)."""
+        from concurrent.futures import Future
+
+        if not self.is_primary:
+            raise RuntimeError("submit() is process-0 only (the front door)")
+        if len(prompt_ids) > self.max_prompt:
+            raise ValueError(
+                f"prompt ({len(prompt_ids)} tokens) exceeds max_prompt "
+                f"({self.max_prompt})")
+        fut: Future = Future()
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("scheduler is closed")
+            rid = self._next_id
+            self._next_id += 1
+            req = Request(prompt_ids=list(prompt_ids), n_predict=n_predict,
+                          request_id=rid, temp=temp, top_k=top_k,
+                          top_p=top_p)
+            self._pending.append((req, fut, on_token))
+        return fut
+
+    def _tick(self) -> tuple:
+        """ONE broadcast: process 0's pending batch (bounded by the tick
+        buffer) + the stop flag, replicated to every process. Called at
+        the same loop points on all processes (collective)."""
+        from jax.experimental import multihost_utils
+
+        taken = []
+        if self.is_primary:
+            with self._lock:
+                take = self._pending[:self.max_reqs]
+                del self._pending[:len(take)]
+                stop = self._stop and not take and not self._pending
+                for req, fut, cb in take:
+                    self._futures[req.request_id] = fut
+                    if cb is not None:
+                        self._streams[req.request_id] = cb
+                taken = [req for req, _, _ in take]
+            flat = _encode(taken, stop, self.max_reqs, self.max_prompt)
+        else:
+            flat = _encode([], False, self.max_reqs, self.max_prompt)
+        flat = np.asarray(multihost_utils.broadcast_one_to_all(flat))
+        return _decode(flat, self.max_reqs, self.max_prompt)
+
+    # -------------------------------------------------------------- serve
+
+    def run(self) -> None:
+        """The SPMD serve loop — every process executes this (workers call
+        it directly and block; process 0 runs it on its own thread)."""
+        def on_complete(rid, result):
+            if not self.is_primary:
+                return
+            self._streams.pop(rid, None)
+            fut = self._futures.pop(rid, None)
+            if fut is not None:
+                fut.set_result(result)
+
+        def on_token(rid, tid):
+            if not self.is_primary:
+                return
+            cb = self._streams.get(rid)
+            if cb is not None:
+                cb(tid)
+
+        while True:
+            reqs, stop = self._tick()
+            if stop:
+                return
+            if not reqs:
+                time.sleep(self.poll_s)
+                continue
+
+            def more():
+                more_reqs, more_stop = self._tick()
+                if more_stop:   # close() while serving: drain, then exit
+                    self._saw_stop = True
+                return more_reqs
+
+            self._saw_stop = False
+            try:
+                self.engine.serve(reqs, self.gen, more=more,
+                                  on_complete=on_complete,
+                                  on_token=on_token)
+            except Exception as e:
+                if self.is_primary:
+                    with self._lock:
+                        futs = list(self._futures.values())
+                        self._futures.clear()
+                    for fut in futs:
+                        fut.set_exception(e)
+                raise   # fail-fast SPMD: every process dies together
+            if self._saw_stop:
+                return
+
+    def stats(self) -> dict:
+        """Live observability snapshot (served by ``GET /stats``): the
+        engine's ServingMetrics counters plus this front door's queue
+        depth and in-flight count (process-0 view)."""
+        out = self.engine.metrics.snapshot()
+        with self._lock:
+            out["queued"] = len(self._pending)
+            out["in_flight"] = len(self._futures)
+            out["closed"] = self._stop
+        out["batch_slots"] = self.engine.B
+        out["processes"] = __import__("jax").process_count()
+        return out
+
+    def close(self, timeout: Optional[float] = 60.0) -> None:
+        """Process 0: stop accepting work, drain, stop every process's
+        loop (the stop flag rides the same tick broadcast)."""
+        if not self.is_primary:
+            raise RuntimeError("close() is process-0 only")
+        with self._lock:
+            self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+        for fut in self._futures.values():
+            fut.set_exception(RuntimeError("scheduler closed"))
+        self._futures.clear()

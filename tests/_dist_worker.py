@@ -77,6 +77,63 @@ def _model_checks(pid: int) -> None:
     print(f"DIST_MODEL_OK {pid}", flush=True)
 
 
+def _dserve_checks(pid: int) -> None:
+    """Multi-host continuous batching with ONE front door: process 0
+    submits live (futures + token streaming), the request stream
+    replicates via the DistributedScheduler's tick broadcast, and both
+    processes run the identical SPMD serve loop. Results on process 0
+    must match a process-local single-device engine token-for-token."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from biogpt_tpu.config import BioGptConfig, GenerationParams
+    from biogpt_tpu.modelio.checkpoint import params_from_state_dict
+    from biogpt_tpu.modelio.synthetic import make_state_dict
+    from biogpt_tpu.parallel import make_mesh
+    from biogpt_tpu.quant import codecs
+    from biogpt_tpu.runtime.dist_serving import DistributedScheduler
+    from biogpt_tpu.runtime.engine import Engine
+    from biogpt_tpu.runtime.serving import BatchedEngine
+
+    cfg = BioGptConfig.tiny(d_model=128, d_ff=256, n_head=4, n_layer=2,
+                            n_vocab=256, n_positions=64)
+    sd = make_state_dict(cfg, seed=11)
+    params = params_from_state_dict(sd, cfg, qtype=codecs.GGML_TYPE_Q4_0)
+    mesh = make_mesh(data=2, model=2)
+    be = BatchedEngine(cfg, params, max_batch=2, compute_dtype=jnp.float32,
+                       chunk=4, mesh=mesh)
+    sched = DistributedScheduler(
+        be, GenerationParams(temp=0.0, seed=5, stop_at_eos=False),
+        max_reqs_per_tick=4, poll_s=0.02)
+
+    if pid != 0:
+        sched.run()   # blocks until process 0 closes the scheduler
+        print(f"DIST_SERVE_OK {pid}", flush=True)
+        return
+
+    # --- process 0: the front door
+    ref = Engine(cfg, params, compute_dtype=jnp.float32, pack_q4=False)
+    prompts = [[2, 5, 9], [2, 14, 7, 3], [2, 8], [2, 3, 4, 5, 6]]
+    toks0 = []
+    futs = [sched.submit(prompts[0], n_predict=5, on_token=toks0.append)]
+    time.sleep(0.15)   # later arrivals join the running batch (live intake)
+    futs += [sched.submit(p, n_predict=5) for p in prompts[1:3]]
+    time.sleep(0.1)
+    futs.append(sched.submit(prompts[3], n_predict=4))
+
+    results = [f.result(timeout=120) for f in futs]
+    for i, (p, res) in enumerate(zip(prompts, results)):
+        n = 4 if i == 3 else 5
+        expect = ref.generate(p, GenerationParams(
+            n_predict=n, temp=0.0, stop_at_eos=False)).ids
+        assert res.ids == expect, (i, res.ids, expect)
+    assert toks0 == results[0].new_ids, (toks0, results[0].new_ids)
+    sched.close()
+    print(f"DIST_SERVE_OK {pid}", flush=True)
+
+
 def main() -> int:
     port, pid, mode = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -90,12 +147,17 @@ def main() -> int:
 
     from biogpt_tpu.parallel.distributed import initialize, is_primary
 
-    if mode in ("api", "model"):
+    if mode in ("api", "model", "dserve"):
         initialize(f"localhost:{port}", num_processes=2, process_id=pid)
 
     if mode == "model":
         assert jax.process_count() == 2 and len(jax.devices()) == 4
         _model_checks(pid)
+        return 0
+
+    if mode == "dserve":
+        assert jax.process_count() == 2 and len(jax.devices()) == 4
+        _dserve_checks(pid)
         return 0
 
     assert jax.process_count() == 2, jax.process_count()

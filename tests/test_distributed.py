@@ -92,6 +92,31 @@ def test_two_process_model_generation():
         assert f"DIST_MODEL_OK {i}" in out, out
 
 
+def test_two_process_distributed_scheduler():
+    """Multi-host serving with ONE front door: process 0 submits live
+    requests (futures, streaming), DistributedScheduler replicates the
+    stream via its tick broadcast, both processes run the SPMD serve loop
+    in lockstep, and process 0's results match single-device generation."""
+    port = _free_port()
+    env = _env()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(i), "dserve"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, out
+        assert f"DIST_SERVE_OK {i}" in out, out
+
+
 def test_initialize_noop_single_process():
     """num_processes <= 1 must not touch the distributed runtime (the
     single-host path calls this unconditionally)."""

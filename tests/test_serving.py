@@ -53,6 +53,60 @@ def test_more_requests_than_slots(tiny_params, single_engine):
         assert results[i].ids == _expected(single_engine, p, 4)
 
 
+def test_distributed_scheduler_single_process(tiny_params, single_engine):
+    """DistributedScheduler degenerates cleanly to one process (the tick
+    broadcast is a no-op): same submit/close surface as ServingScheduler,
+    live intake, token streaming, results == single-stream."""
+    from biogpt_tpu.runtime.dist_serving import DistributedScheduler
+
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    sched = DistributedScheduler(
+        be, GenerationParams(temp=0.0, seed=3, stop_at_eos=False),
+        max_reqs_per_tick=4, poll_s=0.01)
+    toks = []
+    futs = [sched.submit([2, 5, 9], n_predict=5, on_token=toks.append),
+            sched.submit([2, 7], n_predict=4)]
+    results = [f.result(timeout=120) for f in futs]
+    assert results[0].ids == _expected(single_engine, [2, 5, 9], 5)
+    assert results[1].ids == _expected(single_engine, [2, 7], 4)
+    assert toks == results[0].new_ids
+    sched.close()
+    with pytest.raises(RuntimeError):
+        sched.submit([2, 5], n_predict=2)
+
+
+def test_distributed_scheduler_serves_http(tiny_params):
+    """The HTTP front-end binds to DistributedScheduler unchanged (same
+    submit surface) — the multi-host front door is the same server."""
+    import json
+    import urllib.request
+
+    from biogpt_tpu.runtime.dist_serving import DistributedScheduler
+    from biogpt_tpu.server import BioGptServer
+
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    sched = DistributedScheduler(
+        be, GenerationParams(temp=0.0, seed=3, stop_at_eos=False),
+        poll_s=0.01)
+    srv = BioGptServer(sched, tokenizer=None)
+    srv.start()
+    try:
+        body = json.dumps({"prompt_ids": [2, 5, 9], "n_predict": 4}).encode()
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/generate", data=body,
+            headers={"Content-Type": "application/json"}), timeout=120)
+        out = json.loads(r.read())
+        assert len(out["new_ids"]) == 4
+        stats = json.loads(urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/stats", timeout=30).read())
+        assert stats["processes"] == 1 and stats["batch_slots"] == 2
+    finally:
+        srv._httpd.shutdown()
+        sched.close()
+
+
 def test_wide_slot_pool_matches_single(tiny_params, single_engine):
     """B=12 slots (past the old B<=8 kernel cap): the lockstep scheduler,
     refill scatter, and drain bindings stay correct with a wide pool and
