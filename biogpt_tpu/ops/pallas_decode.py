@@ -707,12 +707,23 @@ def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
     return kernel
 
 
-def _kv_block(window: int) -> int:
-    """KV block size: cap VMEM at 512 slots; fall back to one block for odd
-    windows (engine buckets are powers of two, so this is the normal case)."""
-    if window > 512 and window % 512 == 0:
-        return 512
-    return window
+# Per-KV-tensor VMEM budget for one buffering level of the lockstep
+# window block (Pallas double-buffers it, and k and v each hold one).
+_KV_WINDOW_BYTES = 8 * 1024 * 1024
+
+
+def _kv_block(window: int, batch: int = 1, d_model: int = 1024) -> int:
+    """KV block size: the largest power-of-two piece of the window whose
+    (1, B, KVB, D) bf16 VMEM window fits the budget — wide batches force
+    smaller blocks (B=32 at W=512 otherwise wants 128 MB of VMEM for KV
+    alone and fails to compile). Floor 128 (DMA efficiency), cap 512;
+    falls back to one block for odd windows (engine buckets are powers of
+    two, so this is the normal case)."""
+    kvb = window
+    while (kvb % 2 == 0 and kvb > 128
+           and (kvb > 512 or batch * kvb * d_model * 2 > _KV_WINDOW_BYTES)):
+        kvb //= 2
+    return kvb
 
 
 # Per-slot ("paged") KV block: finer than the lockstep block so short slots
@@ -791,7 +802,8 @@ def decode_step_fused(
     offset = LEVEL_OFFSET[qkv.qtype] if packed else 0
     five_bit = packed and qkv.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
     W = min(window, S)
-    KVB = kv_block or (_kv_block_paged(W) if per_slot_kv else _kv_block(W))
+    KVB = kv_block or (_kv_block_paged(W) if per_slot_kv
+                       else _kv_block(W, B, D))
     if W % KVB != 0:
         raise ValueError(f"window {W} not divisible by kv_block {KVB}")
     nW = W // KVB

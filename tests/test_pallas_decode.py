@@ -144,20 +144,36 @@ def test_fused_decode_batched_vs_oracle():
             np.asarray(cache_o.k, np.float32), rtol=2e-2, atol=0.1)
 
 
-@pytest.mark.parametrize("B,n_steps", [(16, 2), (32, 1)])
-def test_fused_decode_batched_wide_vs_oracle(B, n_steps):
+@pytest.mark.parametrize("B,n_steps,kv_block", [(16, 2, 8), (32, 1, None)])
+def test_fused_decode_batched_wide_vs_oracle(B, n_steps, kv_block):
     """Lifted slot cap (B up to 32 — BH spans several 128-row tiles):
-    same math as the oracle, all slots live, ragged positions."""
+    same math as the oracle, all slots live, ragged positions; the B=16
+    case also sweeps multiple KV grid blocks (nW > 1 online softmax)."""
     rng = np.random.RandomState(B)
     past = rng.randint(1, 15, size=B).tolist()
     for logits_o, logits_f, cache_o, cache_f in _batched_step_pair(
             codecs.GGML_TYPE_Q4_0, past_list=past, window=16,
-            n_steps=n_steps):
+            n_steps=n_steps, kv_block=kv_block):
         assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
         np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
         np.testing.assert_allclose(
             np.asarray(cache_f.k, np.float32),
             np.asarray(cache_o.k, np.float32), rtol=2e-2, atol=0.1)
+
+
+def test_kv_block_respects_vmem_budget():
+    """Wide batches shrink the lockstep KV block so the (1, B, KVB, D)
+    VMEM window fits (B=32 at W=512 otherwise needs 128 MB and fails to
+    compile — found on the real chip, round 3)."""
+    from biogpt_tpu.ops.pallas_decode import _kv_block
+
+    assert _kv_block(512, 8, 1024) == 512
+    assert _kv_block(512, 16, 1024) == 256
+    assert _kv_block(512, 32, 1024) == 128
+    assert _kv_block(1024, 8, 1024) == 512
+    assert _kv_block(1024, 32, 1024) == 128
+    assert _kv_block(128, 32, 1024) == 128   # floor
+    assert _kv_block(24) == 24               # odd tiny test windows
 
 
 def test_fused_decode_batched_mins_format():

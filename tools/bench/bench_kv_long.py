@@ -7,7 +7,7 @@ int8 halves the KV stream. The short-window headline bench can't see that
 (448..832 tokens) to n_positions=1024 with and without ``kv_quant`` and
 reports the aggregate for both modes.
 
-Usage (on TPU): python tools/bench/bench_kv_long.py [n_waves]
+Usage (on TPU): python tools/bench/bench_kv_long.py [n_waves] [B]
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
@@ -29,10 +29,11 @@ from biogpt_tpu.runtime.serving import BatchedEngine, Request
 
 def main() -> int:
     n_waves = int(_sys.argv[1]) if len(_sys.argv) > 1 else 2
+    B = int(_sys.argv[2]) if len(_sys.argv) > 2 else 8
     config = BioGptConfig()
     params = make_random_quantized_params(config, GGML_TYPE_BY_NAME["q4_0"],
                                           seed=0)
-    B, n_pred = 8, 64
+    n_pred = 64
     gen = GenerationParams(temp=0.0, stop_at_eos=False)
     rng = np.random.default_rng(3)
 

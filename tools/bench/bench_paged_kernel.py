@@ -25,13 +25,17 @@ params = _pack_matmul_weights(
     make_random_quantized_params(config, GGML_TYPE_BY_NAME["q4_0"], seed=0))
 layers = jax.device_put(params["layers"])
 
-B, S, W = 8, 512, 512
+import sys
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+S, W = 512, 512
 cache = init_cache(config, batch=B, max_len=S, dtype=jnp.bfloat16)
 x0 = jnp.ones((B, config.d_model), jnp.float32)
 
+rng = np.random.default_rng(1)
 cases = {
     "uniform-full": np.full((B,), S - 1, np.int32),
-    "ragged-mixed": np.asarray([32, 64, 96, 128, 256, 384, 448, 511], np.int32),
+    "ragged-mixed": np.resize(np.asarray(
+        [32, 64, 96, 128, 256, 384, 448, 511], np.int32), B),
     "uniform-short": np.full((B,), 64, np.int32),
 }
 
