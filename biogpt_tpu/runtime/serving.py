@@ -197,13 +197,16 @@ class BatchedEngine:
 
             ``src_row`` (B,) int32: for slot s, which prefill row fills
             it; ``mask`` (B,) bool: whether slot s is refilled at all —
-            fixed (B,)-shapes keep this one program per bucket for every
-            refill pattern (per-pattern shapes compile-stormed through the
-            20-40 s/program remote compiler).
+            the slot-side vectors keep fixed (B,) shapes for every refill
+            pattern, while the prefill side is (n_rows, padded) with
+            n_rows bucketed to a power of two <= B: per-pattern shapes
+            compile-stormed through the 20-40 s/program remote compiler,
+            but always padding rows to B made a 1-request refill into a
+            32-slot pool prefill 32x the tokens it needed.
             """
             padded = ids.shape[1]
-            small = init_cache(self.config, batch=self.B, max_len=padded,
-                               dtype=self.cache_dtype)
+            small = init_cache(self.config, batch=ids.shape[0],
+                               max_len=padded, dtype=self.cache_dtype)
             logits, small = self._fwd(
                 params, ids, small, jnp.int32(0), self.config,
                 compute_dtype=self.compute_dtype, allow_pallas=False,
@@ -354,8 +357,12 @@ class BatchedEngine:
         lens = [len(req.prompt_ids) for _, req in pairs]
         n = len(pairs)
         padded = min(_bucket(max(lens)), self.max_seq)
-        ids = np.zeros((self.B, padded), dtype=np.int32)
-        last = np.zeros((self.B,), dtype=np.int32)
+        # prefill rows bucket to a power of two (<= B): a partial refill —
+        # the common case under live intake — prefills only ~n rows
+        # instead of always paying all B
+        nr = min(_bucket(n, floor=1), self.B)
+        ids = np.zeros((nr, padded), dtype=np.int32)
+        last = np.zeros((nr,), dtype=np.int32)
         for r, (_, req) in enumerate(pairs):
             ids[r, :lens[r]] = req.prompt_ids
             last[r] = lens[r] - 1
@@ -366,11 +373,11 @@ class BatchedEngine:
             src_row[slot] = r
             mask[slot] = True
         reqs = [req for _, req in pairs]
-        # pad the sampling vectors to B rows (dummy rows sample from dummy
-        # logits; never emitted)
+        # pad the sampling vectors to the row bucket (dummy rows sample
+        # from dummy logits; never emitted)
         n_temps, n_tps, n_tks = self._gen_vectors(
-            reqs + [Request(prompt_ids=[0])] * (self.B - n), gen)
-        lens_b = np.zeros((self.B,), dtype=np.int32)
+            reqs + [Request(prompt_ids=[0])] * (nr - n), gen)
+        lens_b = np.zeros((nr,), dtype=np.int32)
         lens_b[:n] = lens
         (cache, toks, lengths, first_buf, temps, top_ps, top_ks,
          rng) = self._refill_jit(
