@@ -149,6 +149,123 @@ def supports(qt: QuantizedTensor, m: int) -> bool:
     )
 
 
+def supports_wide(qt: QuantizedTensor, m: int) -> bool:
+    """The wide-batch (8 < m <= 32) dequant-then-dot kernel's shape gate.
+
+    Same alignment rules as :func:`supports`; the row range covers the
+    batched serving decode (B up to 32), where the X'-per-row kernel's
+    MXU cost scales with m but dequant-then-dot amortizes the weight
+    dequant over all rows (the same tradeoff as
+    pallas_decode._qmm vs _qmm_dq). Found on chip (round 3): without
+    this, a B=16/32 serving step's lm_head fell to the XLA
+    dequantize-then-dot, re-materializing the 42k-vocab weight every
+    step."""
+    d_out = qt.scales.shape[-1]
+    d_in = qt.scales.shape[-2] * QK
+    return (
+        d_out % _LANES == 0
+        and d_in % (2 * QK) == 0
+        and 8 < m <= 32
+    )
+
+
+# chunk of d_in per dequant piece (see pallas_decode._CHUNK_BLOCKS)
+_WIDE_CHUNK = 1024
+
+
+def _kernel_wide(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int,
+                 packed: bool, five_bit: bool = False):
+    """One d_out tile, dequant-then-dot (M up to 32 activation rows).
+
+    The batched-megakernel formulation (pallas_decode._qmm_dq) as a
+    standalone matmul: per (chunk, tile) piece the block scales expand to
+    rows with an exact block-diagonal matmul, the weight piece
+    dequantizes in f32 and rounds once to bf16, and ONE MXU dot serves
+    all M rows — weight traffic amortizes over the batch instead of
+    paying the X'-trick's per-row MXU pass.
+    """
+    M, d_in = x_ref.shape
+    T = sc_ref.shape[-1]
+    chunk = min(d_in, _WIDE_CHUNK)
+    n_chunks = d_in // chunk
+    nb_c = chunk // QK
+    kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 0) // QK
+    nn = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 1)
+    expand = (kk == nn).astype(jnp.bfloat16)              # (chunk, nb_c)
+
+    if packed:
+        lv = unpack_levels_swar(lv_ref[:], d_in, five_bit)  # (d_in, T) bf16
+    else:
+        lv = lv_ref[:].astype(jnp.bfloat16)
+
+    acc = None
+    for c in range(n_chunks):
+        b0 = c * nb_c
+        sexp = jnp.dot(expand, sc_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        w = (lv[c * chunk:(c + 1) * chunk, :].astype(jnp.float32)
+             - float(offset)) * sexp
+        if mn_ref is not None:
+            w = w + jnp.dot(
+                expand, mn_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        part = jnp.dot(x_ref[:, c * chunk:(c + 1) * chunk],
+                       w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qmatmul_pallas_wide(x: jax.Array, qt: QuantizedTensor,
+                        interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(qt) for 8 < M <= 32 rows -> (M, d_out) f32."""
+    d_in = qt.scales.shape[-2] * QK
+    d_out = qt.scales.shape[-1]
+    M = x.shape[0]
+    T = _pick_tile(d_out)
+    nb = d_in // QK
+    offset = LEVEL_OFFSET[qt.qtype] if qt.packed else 0
+    five_bit = qt.packed and qt.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
+    lv_rows = qt.levels.shape[0]
+
+    in_specs = [
+        pl.BlockSpec((M, d_in), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((lv_rows, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x.astype(jnp.bfloat16), qt.levels, qt.scales]
+    if qt.mins is not None:
+        in_specs.append(pl.BlockSpec((nb, T), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(qt.mins)
+        kernel = functools.partial(_kernel_wide, offset=offset,
+                                   packed=qt.packed, five_bit=five_bit)
+    else:
+        def kernel(x_ref, lv_ref, sc_ref, out_ref):
+            _kernel_wide(x_ref, lv_ref, sc_ref, None, out_ref,
+                         offset=offset, packed=qt.packed, five_bit=five_bit)
+
+    level_bytes = lv_rows * d_out * qt.levels.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=2 * M * d_in * d_out + 2 * d_in * (d_in // QK) * d_out // QK,
+        bytes_accessed=level_bytes + nb * d_out * 2 + M * d_in * 2
+        + M * d_out * 4,
+        transcendentals=0,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(d_out // T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((M, T), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, d_out), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+
+
 def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
                    out_ref, mv_ref, bv_ref, bi_ref, *, offset: int,
                    packed: bool, five_bit: bool, n_valid: int, T: int,

@@ -119,12 +119,21 @@ def matmul(
     for b in batch_shape:
         m *= b
     if allow_pallas and _PALLAS_MODE is not False:
-        from .pallas_qmatmul import qmatmul_pallas, supports
+        from .pallas_qmatmul import (qmatmul_pallas, qmatmul_pallas_wide,
+                                     supports, supports_wide)
 
         on_tpu = jax.default_backend() == "tpu"
         if supports(w, m) and (on_tpu or _PALLAS_MODE is True):
             d_in = w.scales.shape[-2] * QK
             y = qmatmul_pallas(x.reshape(m, d_in), w, interpret=not on_tpu)
+            return y.reshape(*batch_shape, y.shape[-1])
+        if supports_wide(w, m) and (on_tpu or _PALLAS_MODE is True):
+            # wide decode batches (8 < m <= 32): dequant-then-dot in-kernel
+            # — the XLA fallback re-materializes the dequantized weight in
+            # HBM every step (0.3+ ms for the 42k-vocab lm_head)
+            d_in = w.scales.shape[-2] * QK
+            y = qmatmul_pallas_wide(x.reshape(m, d_in), w,
+                                    interpret=not on_tpu)
             return y.reshape(*batch_shape, y.shape[-1])
 
     if w.packed:

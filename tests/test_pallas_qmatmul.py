@@ -112,6 +112,53 @@ def test_supports_rejects_unaligned():
     assert not supports(qt2, 64)                 # prefill-sized M
 
 
+# ------------------------------------------------- wide-batch (m <= 32)
+
+@pytest.mark.parametrize("qtype", ALL_QTYPES)
+@pytest.mark.parametrize("m", [12, 32])
+def test_wide_kernel_matches_oracle(qtype, m):
+    """The 8 < m <= 32 dequant-then-dot kernel (the B=16/32 serving
+    lm_head path) matches the dequantize oracle."""
+    from biogpt_tpu.ops.pallas_qmatmul import (qmatmul_pallas_wide,
+                                               supports_wide)
+
+    base = _qt(qtype, d_out=512, d_in=256, seed=5)
+    qt = pack_nibble_planes(base)
+    assert supports_wide(qt, m) and not supports_wide(qt, 8)
+    assert not supports_wide(qt, 33)
+    rng = np.random.RandomState(6)
+    x = rng.randn(m, 256).astype(np.float32)
+    got = np.asarray(qmatmul_pallas_wide(jnp.asarray(x), qt, interpret=True))
+    expect = x @ np.asarray(dequantize(base))
+    # the wide path rounds the dequantized weight to bf16 before the dot
+    # (exactly like pallas_decode._qmm_dq) — the same noise band as the
+    # batched megakernel's oracle tests (atol covers near-zero outputs
+    # whose relative error is unbounded)
+    np.testing.assert_allclose(got, expect, rtol=5e-2, atol=0.5)
+
+
+def test_wide_kernel_dispatch(monkeypatch):
+    """ops.matmul routes 8 < m <= 32 through the wide kernel when Pallas
+    is forced, and the result matches the XLA fallback path."""
+    from biogpt_tpu.ops import matmul
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+
+    qt = pack_nibble_planes(_qt(codecs.GGML_TYPE_Q4_0, d_out=512,
+                                d_in=256, seed=7))
+    rng = np.random.RandomState(8)
+    x = rng.randn(16, 256).astype(np.float32)
+    try:
+        set_pallas_mode(True)
+        got = np.asarray(matmul(jnp.asarray(x), qt,
+                                compute_dtype=jnp.bfloat16))
+        set_pallas_mode(False)
+        ref = np.asarray(matmul(jnp.asarray(x), qt,
+                                compute_dtype=jnp.bfloat16))
+    finally:
+        set_pallas_mode("auto")
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-1)
+
+
 def test_matmul_dispatch_packed_xla_fallback():
     """On CPU without forcing pallas, packed tensors go through the jnp
     unpack + block-einsum path and still match the oracle."""
