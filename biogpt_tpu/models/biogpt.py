@@ -345,6 +345,53 @@ def forward_fused_decode_greedy(
     return out, cache
 
 
+def forward_fused_decode_staged(
+    params: dict,
+    tokens: jax.Array,           # (B, 1) int32, 2 <= B <= 32
+    cache: KVCache,              # read-only here: rows [0, past - step_i)
+    k_stage: jax.Array,          # (L, B, C, D) chunk-local staged rows
+    v_stage: jax.Array,
+    past: jax.Array,             # (B,) CURRENT per-slot lengths
+    step_i: jax.Array,           # scalar: step index within the chunk
+    config: BioGptConfig,
+    compute_dtype=jnp.bfloat16,
+    kv_window: int = 128,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Serving decode step with chunk-local KV staging.
+
+    Attention reads cache rows below the chunk-start length plus staged
+    rows below ``step_i`` (bit-identical values to the unstaged path —
+    see ops.pallas_decode._make_kernel_batched). Returns
+    ``(logits, k_rows, v_rows)``; the CALLER writes the rows into the
+    staging buffer at ``step_i`` (one slot-agnostic update per step) and
+    commits the staging into the cache once per chunk — replacing 2·B
+    per-slot cache writes per step with 2 per step + 2·B per chunk.
+    """
+    from ..ops.pallas_decode import decode_step_fused
+
+    B, N = tokens.shape
+    assert N == 1 and 2 <= B <= 32
+    emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(config.d_model)
+    past_vec = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
+    pos = past_vec.reshape(B, 1) + config.pos_offset
+    pos_emb = embedding_lookup(pos, params["embed_positions"])
+    x0 = (emb + pos_emb).reshape(B, config.d_model)
+
+    x, k_rows, v_rows = decode_step_fused(
+        x0, params["layers"], cache.k, cache.v, past_vec,
+        n_head=config.n_head, window=kv_window, ln_eps=config.ln_eps,
+        interpret=interpret, k_stage=k_stage, v_stage=v_stage,
+        step_i=step_i)
+    x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
+                    config.ln_eps)
+    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
+                    allow_pallas=True)
+    logits = logits[..., :config.n_vocab]
+    return logits, k_rows, v_rows
+
+
 def _fused_decode_hidden(
     params: dict,
     tokens: jax.Array,

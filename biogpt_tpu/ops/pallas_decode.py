@@ -383,7 +383,7 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
 
 
 def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
-                         five_bit, has_mins, kv_quant=False):
+                         five_bit, has_mins, kv_quant=False, staged=False):
     """Batched (B <= 32) variant of :func:`_make_kernel`.
 
     Differences from the single-stream kernel: ``past`` is a per-slot SMEM
@@ -392,6 +392,16 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
     one 2-D MXU dot PER SLOT against that slot's cache block — the
     online-softmax state then updates for all B*H head-rows at once.
     Matmuls use the dequant-then-dot formulation (:func:`_qmm_dq`).
+
+    ``staged``: chunk-local KV staging (the serving scan). Rows written
+    during the current chunk live in a small (L, B, C, D) staging buffer
+    instead of the big cache — the caller writes it with ONE
+    slot-agnostic dynamic_update_slice per step and commits per chunk,
+    instead of 2·B per-slot cache writes per step (xprof measured those
+    at ~0.25 ms/step at B=32, 20% of the step). The kernel then attends
+    to cache rows below the CHUNK-START length (``past[b] - stepi``) plus
+    staged rows below the step index (``j < stepi``); values and masking
+    are identical to the unstaged path, so the math is bit-identical.
     """
     scale = 1.0 / math.sqrt(D // H)
     Dk = D // H
@@ -463,6 +473,10 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
         past_col = jnp.concatenate(
             [jnp.full((H, 1), r["past"][0, b], jnp.int32) for b in range(B)],
             axis=0)                                          # (BH, 1)
+        if staged:
+            # rows written this chunk are in the STAGING buffer, not the
+            # cache: the cache is valid only below the chunk-start length
+            past_col = past_col - r["stepi"][0, 0]
         valid = idx < past_col
         masked = jnp.where(valid, scores, -1e30)
         m_prev = msc[:]
@@ -489,6 +503,35 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
         # ---- layer exit: current token, o-proj, FFN, residuals
         @pl.when(j == nW - 1)
         def _finish_layer():
+            if staged:
+                # fold the chunk's staged rows (steps [0, stepi) of this
+                # chunk, written by the caller after each step): same
+                # per-slot dot + online-softmax update as a cache block
+                C = r["kstage"].shape[-2]
+                stepi = r["stepi"][0, 0]
+                scores_s = jnp.concatenate(
+                    [jax.lax.dot_general(
+                        qbd[b * H:(b + 1) * H, :],
+                        r["kstage"][0, b].astype(jnp.bfloat16), _NT,
+                        preferred_element_type=jnp.float32)
+                     for b in range(B)], axis=0)             # (BH, C)
+                jdx = jax.lax.broadcasted_iota(jnp.int32, (BH, C), 1)
+                valid_s = jdx < stepi
+                masked_s = jnp.where(valid_s, scores_s, -1e30)
+                m_prev_s = msc[:]
+                m_new_s = jnp.maximum(
+                    m_prev_s, jnp.max(masked_s, axis=1, keepdims=True))
+                p_s = jnp.where(valid_s, jnp.exp(scores_s - m_new_s), 0.0)
+                alpha_s = jnp.exp(m_prev_s - m_new_s)
+                lsc[:] = lsc[:] * alpha_s + jnp.sum(p_s, axis=1,
+                                                    keepdims=True)
+                accsc[:] = accsc[:] * alpha_s + jnp.concatenate(
+                    [jnp.dot(p_s[b * H:(b + 1) * H, :].astype(jnp.bfloat16),
+                             r["vstage"][0, b].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                     for b in range(B)], axis=0)
+                msc[:] = m_new_s
+
             kcur_rep = jnp.dot(rep, kcur[:],
                                preferred_element_type=jnp.float32)
             vcur_rep = jnp.dot(rep, vcur[:],
@@ -783,6 +826,10 @@ def decode_step_fused(
                                         # stage (halves KV HBM traffic)
     per_slot_kv: bool = False,   # paged path: each slot streams only its
                                  # own live KV blocks (see _make_kernel_paged)
+    k_stage: jax.Array | None = None,  # (L, B, C, D) chunk-local staging:
+    v_stage: jax.Array | None = None,  # rows written this chunk (see
+                                       # _make_kernel_batched ``staged``)
+    step_i: jax.Array | None = None,   # scalar: step index within the chunk
 ):
     """One full decode step over all layers (see module docstring).
 
@@ -790,7 +837,9 @@ def decode_step_fused(
     cache dtype — f32 in int8-KV mode: the CALLER quantizes the new rows).
     ``k_cache``/``v_cache`` are flat-D views (L, B, S, D); ``past`` is a
     scalar (B=1) or per-slot (B,) vector of positions; the caller writes
-    each slot's returned rows at its own position.
+    each slot's returned rows at its own position (into the staging
+    buffer at ``step_i`` when staging is active — cache rows then need
+    only ONE commit per chunk).
     """
     L, B, S, D = k_cache.shape
     kv_quant = k_scales is not None
@@ -891,6 +940,21 @@ def decode_step_fused(
                                   memory_space=pltpu.VMEM)
         in_specs += [s_spec, s_spec]
 
+    staged = k_stage is not None
+    if staged:
+        assert not per_slot_kv and not kv_quant and B > 1, (
+            "staged KV is the batched lockstep serving path")
+        C = k_stage.shape[2]
+        names += ["stepi", "kstage", "vstage"]
+        args += [jnp.asarray(step_i, jnp.int32).reshape(1, 1),
+                 k_stage, v_stage]
+        in_specs += [
+            pl.BlockSpec((1, 1), lambda l, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            per_layer((B, C, D)),
+            per_layer((B, C, D)),
+        ]
+
     # int8-KV mode: the kernel's new K/V rows leave in f32 so the caller's
     # row quantization sees full precision
     cache_dtype = jnp.float32 if kv_quant else k_cache.dtype
@@ -942,7 +1006,7 @@ def decode_step_fused(
         kernel = _make_kernel_batched(
             names, B=B, D=D, H=H, KVB=KVB, eps=ln_eps, offset=offset,
             packed=packed, five_bit=five_bit, has_mins=has_mins,
-            kv_quant=kv_quant)
+            kv_quant=kv_quant, staged=staged)
 
     # bytes: levels+scales+biases per layer, KV window, outputs
     wbytes = sum(int(jnp.size(layers[n]["w"].levels))

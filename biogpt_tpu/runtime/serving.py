@@ -88,6 +88,7 @@ class BatchedEngine:
         mesh=None,
         kv_quant: bool = False,
         paged_kv: Optional[bool] = None,
+        staged_kv: bool = False,
         health_check: bool = True,
         watchdog_s: Optional[float] = None,
     ):
@@ -160,6 +161,15 @@ class BatchedEngine:
         if paged_kv is None:
             paged_kv = False
         self._paged_kv = bool(paged_kv) and self._fused_decode
+        # Chunk-local KV staging (opt-in): replaces the 2·B per-slot cache
+        # writes per step (xprof: ~0.25 ms/step at B=32) with one
+        # slot-agnostic staging write per step + a per-chunk commit, and
+        # the kernel attends to staging rows. Measured NEUTRAL on this
+        # chip (the saved update-slice issue time is offset by the staging
+        # read traffic and the extra in-kernel fold — RESULTS.md round 3),
+        # so it defaults off; kept because the tradeoff may flip on
+        # hardware without this runtime's dispatch costs.
+        self._staged_kv = bool(staged_kv) and self._fused_decode
         if cache_dtype is None:
             cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
         self.cache_dtype = cache_dtype
@@ -249,6 +259,22 @@ class BatchedEngine:
             donate_argnames=("cache", "toks", "lengths", "first_buf",
                              "temps", "top_ps", "top_ks"))
 
+        def sample_emit(logits, lengths, rng, temps, top_ps, top_ks,
+                        out_buf, out_ix, live, health, all_greedy):
+            """Shared per-step epilogue: health fold, per-request sampling
+            (or the all-greedy shortcut), token-ring write."""
+            health = jnp.logical_and(
+                health, jnp.all(jnp.isfinite(logits) | ~live[:, None]))
+            if all_greedy:
+                nxt = greedy(logits)
+            else:
+                rng, sub = jax.random.split(rng)
+                nxt = sample_per_request(sub, logits, top_ks, top_ps, temps,
+                                         max_top_k=self.MAX_TOP_K)
+            out_buf = jax.lax.dynamic_update_slice(
+                out_buf, nxt[None, :], (out_ix, jnp.zeros((), jnp.int32)))
+            return nxt, lengths + 1, rng, out_buf, out_ix + 1, health
+
         def batched_step(params, toks, cache, lengths, rng, temps, top_ps,
                          top_ks, out_buf, out_ix, live, health, kv_window,
                          use_fused, all_greedy):
@@ -274,25 +300,16 @@ class BatchedEngine:
                     compute_dtype=self.compute_dtype,
                     allow_pallas=self.allow_pallas, logits_mode="last",
                     kv_window=kv_window)
-            health = jnp.logical_and(
-                health, jnp.all(jnp.isfinite(logits) | ~live[:, None]))
-            if all_greedy:
-                # every live request is greedy: skip the full-vocab top-k
-                # (jax.lax.top_k over (B, 42k) costs more than the forward's
-                # sampling share); rng untouched
-                nxt = greedy(logits)
-            else:
-                rng, sub = jax.random.split(rng)
-                nxt = sample_per_request(sub, logits, top_ks, top_ps, temps,
-                                         max_top_k=self.MAX_TOP_K)
-            out_buf = jax.lax.dynamic_update_slice(
-                out_buf, nxt[None, :], (out_ix, jnp.zeros((), jnp.int32)))
-            return (nxt[:, None], cache, lengths + 1, rng, out_buf,
-                    out_ix + 1, health)
+            nxt, lengths, rng, out_buf, out_ix, health = sample_emit(
+                logits, lengths, rng, temps, top_ps, top_ks, out_buf,
+                out_ix, live, health, all_greedy)
+            return (nxt[:, None], cache, lengths, rng, out_buf,
+                    out_ix, health)
 
         def step_scan(params, toks, cache, lengths, rng, temps, top_ps,
                       top_ks, first_buf, live, *, n_steps: int,
-                      kv_window: int, use_fused: bool, all_greedy: bool):
+                      kv_window: int, use_fused: bool, all_greedy: bool,
+                      staged: bool):
             """``n_steps`` lockstep steps under ONE dispatch (argument
             binding costs ~0.7 ms/call on this runtime — see engine).
 
@@ -300,18 +317,70 @@ class BatchedEngine:
             tokens, the (n_steps, B) token block, and the chunk's health
             bit in one flat array — so the host launches exactly one
             program per chunk (the previous zeros+concatenate pair cost
-            two more dispatches per chunk)."""
+            two more dispatches per chunk).
+
+            ``staged`` (megakernel only): the chunk's new KV rows collect
+            in a small (L, B, n_steps, D) staging buffer written with ONE
+            slot-agnostic update per step (the kernel attends to it — see
+            forward_fused_decode_staged) and commit to the cache once at
+            chunk end — replacing 2·B per-slot cache writes per step,
+            xprof-measured at ~0.25 ms/step (20%) at B=32."""
             out_buf = jnp.zeros((n_steps, self.B), jnp.int32)
-            def body(carry, _):
-                toks, cache, lengths, rng, out_buf, out_ix, health = carry
-                return batched_step(params, toks, cache, lengths, rng,
-                                    temps, top_ps, top_ks, out_buf, out_ix,
-                                    live, health, kv_window, use_fused,
-                                    all_greedy), None
-            init = (toks, cache, lengths, rng, out_buf, jnp.int32(0),
-                    jnp.bool_(True))
-            (toks, cache, lengths, rng, out_buf, _, health), _ = jax.lax.scan(
-                body, init, None, length=n_steps)
+            if staged:
+                from ..models.biogpt import forward_fused_decode_staged
+
+                L, Bc, S, D = cache.k.shape
+                kst = jnp.zeros((L, Bc, n_steps, D), cache.k.dtype)
+                vst = jnp.zeros_like(kst)
+                lengths0 = lengths   # chunk-start positions (commit bases)
+
+                def body(carry, i):
+                    (toks, lengths, rng, out_buf, out_ix, health,
+                     kst, vst) = carry
+                    logits, k_rows, v_rows = forward_fused_decode_staged(
+                        params, toks, cache, kst, vst, lengths, i,
+                        self.config, compute_dtype=self.compute_dtype,
+                        kv_window=kv_window, interpret=self._interpret)
+                    zero = jnp.zeros((), jnp.int32)
+                    kst = jax.lax.dynamic_update_slice(
+                        kst, k_rows[:, :, None, :].astype(kst.dtype),
+                        (zero, zero, i, zero))
+                    vst = jax.lax.dynamic_update_slice(
+                        vst, v_rows[:, :, None, :].astype(vst.dtype),
+                        (zero, zero, i, zero))
+                    nxt, lengths, rng, out_buf, out_ix, health = sample_emit(
+                        logits, lengths, rng, temps, top_ps, top_ks,
+                        out_buf, out_ix, live, health, all_greedy)
+                    return (nxt[:, None], lengths, rng, out_buf, out_ix,
+                            health, kst, vst), None
+
+                init = (toks, lengths, rng, out_buf, jnp.int32(0),
+                        jnp.bool_(True), kst, vst)
+                (toks, lengths, rng, out_buf, _, health, kst,
+                 vst), _ = jax.lax.scan(
+                    body, init, jnp.arange(n_steps, dtype=jnp.int32))
+                # commit the chunk's staged rows: ONE contiguous write per
+                # (tensor, slot) at that slot's chunk-start position
+                k_new, v_new = cache.k, cache.v
+                zero = jnp.zeros((), jnp.int32)
+                for b in range(self.B):
+                    idx = (zero, jnp.int32(b), lengths0[b], zero)
+                    k_new = jax.lax.dynamic_update_slice(
+                        k_new, kst[:, b:b + 1], idx)
+                    v_new = jax.lax.dynamic_update_slice(
+                        v_new, vst[:, b:b + 1], idx)
+                cache = KVCache(k=k_new, v=v_new)
+            else:
+                def body(carry, _):
+                    toks, cache, lengths, rng, out_buf, out_ix, health = carry
+                    return batched_step(params, toks, cache, lengths, rng,
+                                        temps, top_ps, top_ks, out_buf,
+                                        out_ix, live, health, kv_window,
+                                        use_fused, all_greedy), None
+                init = (toks, cache, lengths, rng, out_buf, jnp.int32(0),
+                        jnp.bool_(True))
+                (toks, cache, lengths, rng, out_buf, _,
+                 health), _ = jax.lax.scan(body, init, None, length=n_steps)
             fetch = jnp.concatenate(
                 [first_buf, out_buf.reshape(-1),
                  health.astype(jnp.int32)[None]])
@@ -319,7 +388,7 @@ class BatchedEngine:
 
         self._step_scan = jax.jit(
             step_scan, static_argnames=("n_steps", "kv_window", "use_fused",
-                                        "all_greedy"),
+                                        "all_greedy", "staged"),
             donate_argnames=("cache",))
 
 
@@ -819,11 +888,18 @@ class BatchedEngine:
                 # tokens + the whole chunk block + the chunk's health bit.
                 # Slots already free at launch snapshot as unbound so their
                 # garbage lanes can't reach a truncated request.
+                use_fused = self._use_fused()
+                # chunk-local KV staging: megakernel lockstep only (the
+                # int8 cache would need staged scales; paged streams
+                # per-slot; B=1 pays only 2 writes/step anyway)
+                staged = (self._staged_kv and use_fused and self.B > 1
+                          and not self._paged_kv
+                          and self.cache_dtype == jnp.bfloat16)
                 toks, cache, lengths, rng, fetch = self._step_scan(
                     self.params, toks, cache, lengths, rng, temps, top_ps,
                     top_ks, first_buf, live, n_steps=self.chunk,
-                    kv_window=window, use_fused=self._use_fused(),
-                    all_greedy=greedy_now)
+                    kv_window=window, use_fused=use_fused,
+                    all_greedy=greedy_now, staged=staged)
                 try:
                     # start the device->host copy NOW (behind this chunk only);
                     # by drain time next iteration it is already in flight

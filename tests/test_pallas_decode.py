@@ -320,6 +320,36 @@ def test_serving_fused_matches_per_op():
         assert fused[i].ids == plain[i].ids, i
 
 
+def test_serving_staged_kv_matches_per_op():
+    """Chunk-local KV staging (BatchedEngine(staged_kv=True)): the staged
+    lockstep path — staging writes per step, one cache commit per chunk,
+    kernel attending to cache + staging — equals per-op serving
+    request-for-request across chunk boundaries and a refill wave."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    sd = make_state_dict(CFG, seed=11)
+    params = params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_0)
+    reqs = [Request(prompt_ids=p, n_predict=5, request_id=i)
+            for i, p in enumerate([[2, 41, 7], [2, 19, 3, 8], [2, 5]])]
+    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+
+    be = BatchedEngine(CFG, params, max_batch=2, chunk=3,
+                       compute_dtype=jnp.bfloat16, max_seq=32,
+                       staged_kv=True)
+    assert be._staged_kv
+    try:
+        set_pallas_mode(True)   # CPU: run kernels in interpret mode
+        staged = be.serve(reqs, gen)
+        set_pallas_mode(False)  # per-op XLA path on the same engine
+        plain = be.serve(reqs, gen)
+    finally:
+        set_pallas_mode("auto")
+    for i in range(len(reqs)):
+        assert staged[i].ids == plain[i].ids, i
+
+
 def test_engine_generate_fused_matches_per_op():
     """Engine e2e: greedy generation through the megakernel equals the
     per-op path token-for-token (CPU interpret mode, forced pallas)."""
