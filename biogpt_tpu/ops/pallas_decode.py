@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -186,8 +187,6 @@ def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
         outs.append(col)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
-
-import os as _os
 
 # How _qmm_dq expands (nb, tile) block scales to (chunk, tile) rows:
 #   "dot"   — block-diagonal 0/1 matmul (exact; K=nb_c puts the MXU at
