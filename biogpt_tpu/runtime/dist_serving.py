@@ -53,9 +53,9 @@ def _bits_f32(b: int) -> float:
     return float(np.int32(b).view(np.float32))
 
 
-def _encode(reqs: List[Request], stop: bool, max_reqs: int,
-            max_prompt: int) -> np.ndarray:
-    """[n_reqs, stop] header + (max_reqs, _F + max_prompt) rows, flat."""
+def _encode(reqs: List[Request], stop: bool, aborts: List[int],
+            max_reqs: int, max_prompt: int) -> np.ndarray:
+    """[n_reqs, stop, n_aborts] header + abort ids + request rows, flat."""
     buf = np.full((max_reqs, _F + max_prompt), _NONE, np.int32)
     for r, req in enumerate(reqs):
         ids = req.prompt_ids
@@ -66,13 +66,16 @@ def _encode(reqs: List[Request], stop: bool, max_reqs: int,
         buf[r, 4] = _NONE if req.temp is None else _f32_bits(req.temp)
         buf[r, 5] = _NONE if req.top_p is None else _f32_bits(req.top_p)
         buf[r, _F:_F + len(ids)] = ids
-    head = np.array([len(reqs), int(stop)], np.int32)
-    return np.concatenate([head, buf.ravel()])
+    head = np.array([len(reqs), int(stop), len(aborts)], np.int32)
+    ab = np.full((max_reqs,), _NONE, np.int32)
+    ab[:len(aborts)] = aborts
+    return np.concatenate([head, ab, buf.ravel()])
 
 
 def _decode(flat: np.ndarray, max_reqs: int, max_prompt: int):
-    n, stop = int(flat[0]), bool(flat[1])
-    buf = flat[2:].reshape(max_reqs, _F + max_prompt)
+    n, stop, n_ab = int(flat[0]), bool(flat[1]), int(flat[2])
+    aborts = [int(x) for x in flat[3:3 + max_reqs][:n_ab]]
+    buf = flat[3 + max_reqs:].reshape(max_reqs, _F + max_prompt)
     reqs = []
     for r in range(n):
         plen = int(buf[r, 1])
@@ -84,7 +87,7 @@ def _decode(flat: np.ndarray, max_reqs: int, max_prompt: int):
             temp=None if buf[r, 4] == _NONE else _bits_f32(buf[r, 4]),
             top_p=None if buf[r, 5] == _NONE else _bits_f32(buf[r, 5]),
         ))
-    return reqs, stop
+    return reqs, stop, aborts
 
 
 class DistributedScheduler:
@@ -124,6 +127,9 @@ class DistributedScheduler:
 
         self._lock = threading.Lock()
         self._pending: List = []     # (Request, Future, on_token) — proc 0
+        self._pending_aborts: List[int] = []   # proc 0, drained into ticks
+        self._abort_set: set = set()  # every process, fed FROM ticks (the
+                                      # SPMD loops must agree on aborts)
         self._futures = {}
         self._streams = {}
         self._next_id = 0
@@ -162,7 +168,20 @@ class DistributedScheduler:
                           request_id=rid, temp=temp, top_k=top_k,
                           top_p=top_p)
             self._pending.append((req, fut, on_token))
+        fut.request_id = rid
         return fut
+
+    def abort(self, request_id: int) -> None:
+        """Process 0: stop generating for a request. The abort rides the
+        next tick broadcast so every process's SPMD loop frees the slot at
+        the same scheduling point (a process-local abort would diverge the
+        lockstep); the Future resolves with whatever drained."""
+        if not self.is_primary:
+            raise RuntimeError("abort() is process-0 only (the front door)")
+        with self._lock:
+            if request_id not in self._abort_set:
+                self._pending_aborts.append(request_id)
+                self.engine.metrics.inc("requests_aborted")
 
     def _tick(self) -> tuple:
         """ONE broadcast: process 0's pending batch (bounded by the tick
@@ -175,17 +194,22 @@ class DistributedScheduler:
             with self._lock:
                 take = self._pending[:self.max_reqs]
                 del self._pending[:len(take)]
+                aborts = self._pending_aborts[:self.max_reqs]
+                del self._pending_aborts[:len(aborts)]
                 stop = self._stop and not take and not self._pending
                 for req, fut, cb in take:
                     self._futures[req.request_id] = fut
                     if cb is not None:
                         self._streams[req.request_id] = cb
                 taken = [req for req, _, _ in take]
-            flat = _encode(taken, stop, self.max_reqs, self.max_prompt)
+            flat = _encode(taken, stop, aborts, self.max_reqs,
+                           self.max_prompt)
         else:
-            flat = _encode([], False, self.max_reqs, self.max_prompt)
+            flat = _encode([], False, [], self.max_reqs, self.max_prompt)
         flat = np.asarray(multihost_utils.broadcast_one_to_all(flat))
-        return _decode(flat, self.max_reqs, self.max_prompt)
+        reqs, stop, aborts = _decode(flat, self.max_reqs, self.max_prompt)
+        self._abort_set.update(aborts)   # every process, identically
+        return reqs, stop
 
     # -------------------------------------------------------------- serve
 
@@ -225,7 +249,8 @@ class DistributedScheduler:
             try:
                 self.engine.serve(reqs, self.gen, more=more,
                                   on_complete=on_complete,
-                                  on_token=on_token)
+                                  on_token=on_token,
+                                  is_aborted=self._abort_set.__contains__)
             except Exception as e:
                 if self.is_primary:
                     with self._lock:

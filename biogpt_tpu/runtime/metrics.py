@@ -20,6 +20,7 @@ class ServingMetrics:
     _COUNTERS = (
         "requests_accepted",    # taken off the queue into a slot
         "requests_completed",   # final token drained (on_complete point)
+        "requests_aborted",     # caller-aborted (client disconnect etc.)
         "tokens_emitted",       # generated tokens delivered to results
         "chunks_launched",      # decode scans dispatched
         "drains_landed",        # chunk fetches completed by the pool

@@ -478,6 +478,7 @@ class BatchedEngine:
         more=None,
         on_complete=None,
         on_token=None,
+        is_aborted=None,
     ) -> Dict[int, RequestResult]:
         """Run all requests to completion with continuous slot refill.
 
@@ -500,6 +501,13 @@ class BatchedEngine:
         generated token as its drain lands (tokens arrive in bursts of up
         to ``chunk`` per request, ``pipeline`` chunks behind the device —
         streaming with bounded latency, not per-step host sync).
+
+        ``is_aborted``: optional ``f(request_id) -> bool`` polled wherever
+        completion is checked; a True answer (one-way: never un-abort)
+        stops emission, frees the slot at the next scheduling check, and
+        completes the request with whatever drained — so a disconnected
+        client stops burning a slot. Queued requests abort without ever
+        taking a slot.
 
         Three mechanisms keep the host off the critical path (a
         device->host fetch costs a ~26-55 ms sync RPC on this runtime,
@@ -735,12 +743,17 @@ class BatchedEngine:
         first_buf = jnp.zeros((self.B,), jnp.int32)
 
         def req_done(req: Optional[Request]) -> bool:
-            """Request complete: n_predict reached or EOS emitted.
+            """Request complete: n_predict reached, EOS emitted, or the
+            caller aborted it (``is_aborted`` — a disconnected client must
+            not keep burning a slot).
 
-            Monotonic (a done request never becomes live again), which is
-            what makes draining against a launch-time snapshot safe.
+            Monotonic (a done request never becomes live again; aborts are
+            one-way), which is what makes draining against a launch-time
+            snapshot safe.
             """
             if req is None:
+                return True
+            if is_aborted is not None and is_aborted(req.request_id):
                 return True
             res = results.get(req.request_id)
             if res is None:   # completed and evicted (live-intake mode)
@@ -780,20 +793,35 @@ class BatchedEngine:
             nonlocal cache, toks, lengths, rng, first_buf
             nonlocal temps, top_ps, top_ks
             pairs = []
+            n_reg = 0
             with state_lock:   # notify() iterates/evicts these dicts
-                for slot in free_slots:
-                    if not queue:
-                        break
+                free_iter = iter(free_slots)
+                while queue:
                     req = queue.pop(0)
+                    n_reg += 1
                     results[req.request_id] = RequestResult(
                         request_id=req.request_id, ids=list(req.prompt_ids),
                         prompt_len=len(req.prompt_ids))
                     reqs_by_id[req.request_id] = req
                     accept_t[req.request_id] = time.monotonic()
+                    if (is_aborted is not None
+                            and is_aborted(req.request_id)):
+                        # aborted while queued: registered (so notify()
+                        # completes its future with an empty result) but
+                        # never given a slot or a prefill
+                        continue
+                    slot = next(free_iter, None)
+                    if slot is None:
+                        queue.insert(0, req)
+                        del reqs_by_id[req.request_id]
+                        del results[req.request_id]
+                        accept_t.pop(req.request_id, None)
+                        n_reg -= 1
+                        break
                     pairs.append((slot, req))
+            self.metrics.inc("requests_accepted", n_reg)
             if not pairs:
                 return
-            self.metrics.inc("requests_accepted", len(pairs))
             # ONE program per refill wave: short prompts pad to the wave's
             # max bucket. A per-bucket split was tried first (round 2) and
             # measured worse — each refill program pays the full packed-
@@ -965,6 +993,7 @@ class ServingScheduler:
         self.engine = engine
         self.gen = gen or GenerationParams(temp=0.0)
         self._queue: "_queue.Queue" = _queue.Queue()
+        self._aborted: set = set()   # one-way; GIL-atomic add/contains
         self._next_id = 0
         # guards _stop vs submit: without it a submit could pass the closed
         # check, close()'s worker could exit on an empty queue, and the
@@ -995,8 +1024,21 @@ class ServingScheduler:
             req = Request(prompt_ids=list(prompt_ids), n_predict=n_predict,
                           request_id=rid, temp=temp, top_k=top_k, top_p=top_p)
             self._queue.put((req, fut, on_token))
+        fut.request_id = rid   # for abort() by callers holding the future
         self._wake.set()
         return fut
+
+    def abort(self, request_id: int) -> None:
+        """Stop generating for a submitted request (one-way; idempotent).
+
+        The request's slot frees at the next scheduling check and its
+        Future resolves with whatever tokens had drained (possibly none) —
+        the mechanism behind client-disconnect cleanup: an abandoned
+        stream must not keep burning a batch slot to n_predict."""
+        if request_id not in self._aborted:
+            self._aborted.add(request_id)
+            self.engine.metrics.inc("requests_aborted")
+        self._wake.set()
 
     def stats(self) -> dict:
         """Live observability snapshot (served by ``GET /stats``): the
@@ -1067,7 +1109,8 @@ class ServingScheduler:
             try:
                 results = self.engine.serve(
                     [req for req, _, _ in batch], self.gen,
-                    more=more, on_complete=on_complete, on_token=on_token)
+                    more=more, on_complete=on_complete, on_token=on_token,
+                    is_aborted=self._aborted.__contains__)
                 for rid, fut in list(futures.items()):
                     # safety net: every request must have been notified;
                     # resolve-or-fail so no waiter can hang

@@ -72,6 +72,11 @@ class BioGptServer:
                 q: "_q.Queue" = _q.Queue()
                 fut = outer.scheduler.submit(ids, on_token=q.put, **sampling)
                 fut.add_done_callback(lambda f: q.put(None))
+
+                def abort():
+                    # a gone client must not keep burning a batch slot
+                    if hasattr(outer.scheduler, "abort"):
+                        outer.scheduler.abort(fut.request_id)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
@@ -86,6 +91,7 @@ class BioGptServer:
                         try:
                             tid = q.get(timeout=request_timeout_s)
                         except _q.Empty:
+                            abort()
                             self.wfile.write(
                                 b'data: {"error": "timeout"}\n\n')
                             return
@@ -105,7 +111,7 @@ class BioGptServer:
                         done["text"] = outer.tokenizer.decode(result.ids)
                     self.wfile.write(f"data: {json.dumps(done)}\n\n".encode())
                 except OSError:
-                    pass   # client went away mid-stream
+                    abort()   # client went away mid-stream
                 except Exception as e:
                     try:
                         self.wfile.write(
@@ -144,7 +150,13 @@ class BioGptServer:
                         self._stream(ids, sampling)
                         return
                     fut = outer.scheduler.submit(ids, **sampling)
-                    result = fut.result(timeout=request_timeout_s)
+                    try:
+                        result = fut.result(timeout=request_timeout_s)
+                    except Exception:
+                        # timed out / failed: release the slot
+                        if hasattr(outer.scheduler, "abort"):
+                            outer.scheduler.abort(fut.request_id)
+                        raise
                 except json.JSONDecodeError:
                     self._json(400, {"error": "invalid JSON"})
                     return

@@ -130,6 +130,19 @@ def _dserve_checks(pid: int) -> None:
             n_predict=n, temp=0.0, stop_at_eos=False)).ids
         assert res.ids == expect, (i, res.ids, expect)
     assert toks0 == results[0].new_ids, (toks0, results[0].new_ids)
+
+    # --- abort replicates through the tick broadcast: a long request
+    # aborted mid-generation resolves partially on BOTH processes' loops
+    toks_a = []
+    fa = sched.submit([2, 9, 4], n_predict=50, on_token=toks_a.append)
+    deadline = time.time() + 60
+    while not toks_a and time.time() < deadline:
+        time.sleep(0.005)
+    assert toks_a, "no streamed tokens within 60s"
+    sched.abort(fa.request_id)
+    ra = fa.result(timeout=120)
+    assert 0 < len(ra.new_ids) < 50, len(ra.new_ids)
+
     sched.close()
     print(f"DIST_SERVE_OK {pid}", flush=True)
 

@@ -53,6 +53,53 @@ def test_more_requests_than_slots(tiny_params, single_engine):
         assert results[i].ids == _expected(single_engine, p, 4)
 
 
+def test_abort_frees_slot_and_resolves_partial(tiny_params, single_engine):
+    """Aborting a running request frees its slot (the queued request runs)
+    and resolves its future with the tokens drained so far — the client-
+    disconnect path must not burn a slot to n_predict."""
+    import time
+
+    from biogpt_tpu.runtime.serving import ServingScheduler
+
+    be = BatchedEngine(TINY, tiny_params, max_batch=1,
+                       compute_dtype=jnp.float32, chunk=4)
+    sched = ServingScheduler(
+        be, GenerationParams(temp=0.0, stop_at_eos=False))
+    toks = []
+    f1 = sched.submit([2, 5, 9], n_predict=50, on_token=toks.append)
+    f2 = sched.submit([2, 7], n_predict=4)
+    deadline = time.monotonic() + 60
+    while not toks and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert toks, "no tokens drained within 60s"
+    sched.abort(f1.request_id)
+    r1 = f1.result(timeout=120)
+    r2 = f2.result(timeout=120)
+    assert 0 < len(r1.new_ids) < 50, len(r1.new_ids)
+    assert r2.ids == _expected(single_engine, [2, 7], 4)
+    sched.close()
+    assert be.metrics.snapshot()["requests_aborted"] == 1
+
+
+def test_abort_queued_request_never_takes_a_slot(tiny_params, single_engine):
+    """A request aborted while still queued completes with zero generated
+    tokens and never costs a prefill."""
+    from biogpt_tpu.runtime.serving import ServingScheduler
+
+    be = BatchedEngine(TINY, tiny_params, max_batch=1,
+                       compute_dtype=jnp.float32, chunk=4)
+    sched = ServingScheduler(
+        be, GenerationParams(temp=0.0, stop_at_eos=False))
+    f1 = sched.submit([2, 5, 9], n_predict=12)
+    f2 = sched.submit([2, 7], n_predict=8)
+    sched.abort(f2.request_id)   # before it can take the single slot
+    r1 = f1.result(timeout=120)
+    r2 = f2.result(timeout=120)
+    assert r1.ids == _expected(single_engine, [2, 5, 9], 12)
+    assert r2.new_ids == []
+    sched.close()
+
+
 def test_distributed_scheduler_single_process(tiny_params, single_engine):
     """DistributedScheduler degenerates cleanly to one process (the tick
     broadcast is a no-op): same submit/close surface as ServingScheduler,
