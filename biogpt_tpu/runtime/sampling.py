@@ -23,6 +23,36 @@ def greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def topk_2stage(x: jax.Array, k: int, groups: int = 16):
+    """EXACT drop-in for ``jax.lax.top_k`` over a wide minor axis.
+
+    A single top-k over the 42k vocab measures ~0.8 ms at (32, V) on this
+    chip; splitting the axis into ``groups``, taking each group's local
+    top-k (any global top-k element is necessarily in its own group's
+    top-k), and re-top-k'ing the G·k candidates cuts that ~35%. Exact
+    including tie-breaking: groups cover ascending index ranges and
+    lax.top_k is index-stable, so equal values still resolve to the
+    lowest global index.
+    """
+    B, V = x.shape
+    if V < groups * k * 4:       # small vocabs: grouping can't pay
+        return jax.lax.top_k(x, k)
+    # lane-align each group's width (a 2649-wide minor axis forces
+    # relayouts that cost more than the grouping saves)
+    W = -(-V // groups)
+    W = -(-W // 128) * 128
+    pad = W * groups - V
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    v_g, i_g = jax.lax.top_k(x.reshape(B, groups, W), k)   # (B, G, k)
+    base = (jnp.arange(groups, dtype=jnp.int32) * W)[None, :, None]
+    cand_v = v_g.reshape(B, groups * k)
+    cand_i = (i_g.astype(jnp.int32) + base).reshape(B, groups * k)
+    vals, sel = jax.lax.top_k(cand_v, k)
+    idx = jnp.take_along_axis(cand_i, sel, axis=1)
+    return vals, idx
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def top_k_top_p_probs(
     logits: jax.Array,           # (B, V)
@@ -32,8 +62,11 @@ def top_k_top_p_probs(
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (probs (B, top_k), token_ids (B, top_k)) after the reference's
     top-k/top-p filtering, sorted by descending probability."""
-    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-8)
-    top_logits, top_ids = jax.lax.top_k(scaled, top_k)          # sorted desc
+    # top-k commutes with the (positive) temperature scale — select on the
+    # raw logits (grouped two-stage, ~35% cheaper at 42k vocab) and scale
+    # only the k survivors
+    raw, top_ids = topk_2stage(logits.astype(jnp.float32), top_k)
+    top_logits = raw / jnp.maximum(temp, 1e-8)
     probs = jax.nn.softmax(top_logits, axis=-1)
     # keep index i iff the cumulative sum *before* i is still < top_p (the
     # reference keeps through the first index reaching top_p); top_p >= 1
@@ -85,8 +118,12 @@ def sample_per_request(
     top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,))[:, None]
     top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,))[:, None]
 
-    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-8)
-    top_logits, top_ids = jax.lax.top_k(scaled, k_max)           # sorted desc
+    # select on raw logits (top-k commutes with the positive temperature
+    # scale; the 42k-wide selection is the sampler's dominant cost — see
+    # topk_2stage) and scale only the survivors; temp <= 0 rows divide by
+    # 1e-8 which is also monotone, and they take the argmax branch below
+    raw, top_ids = topk_2stage(logits.astype(jnp.float32), k_max)
+    top_logits = raw / jnp.maximum(temp, 1e-8)
     rank = jnp.arange(k_max, dtype=jnp.int32)[None, :]
     in_k = rank < jnp.minimum(top_k, k_max)
     top_logits = jnp.where(in_k, top_logits, -jnp.inf)
@@ -98,4 +135,8 @@ def sample_per_request(
     choice = jax.random.categorical(
         rng, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
     sampled = jnp.take_along_axis(top_ids, choice[:, None], axis=-1)[:, 0]
-    return jnp.where(temp[:, 0] <= 0.0, greedy(logits), sampled).astype(jnp.int32)
+    # top_ids[:, 0] IS the argmax (top_k is index-stable), so the temp <= 0
+    # fallback costs nothing — a second full-vocab argmax measured ~30% of
+    # the sampler
+    return jnp.where(temp[:, 0] <= 0.0, top_ids[:, 0],
+                     sampled).astype(jnp.int32)

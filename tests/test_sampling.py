@@ -75,3 +75,42 @@ def test_low_temp_concentrates():
         key, sub = jax.random.split(key)
         toks.add(int(sample_top_k_top_p(sub, logits, top_k=40, top_p=0.9, temp=0.01)[0]))
     assert toks == {best}
+
+
+def test_topk_2stage_exact_vs_lax():
+    """Grouped two-stage top-k == lax.top_k exactly, including the
+    index-stable tie-breaking, at wide (vocab-like) and padded widths."""
+    from biogpt_tpu.runtime.sampling import topk_2stage
+
+    rng = np.random.RandomState(0)
+    for B, V, k in [(4, 42384, 64), (2, 8192, 40), (3, 42384, 1),
+                    (1, 5000, 8)]:
+        x = rng.randn(B, V).astype(np.float32)
+        # heavy ties: quantize to few levels so tie-breaking is exercised
+        x_tied = np.round(x * 2) / 2
+        for arr in (x, x_tied):
+            xa = jnp.asarray(arr)
+            v_ref, i_ref = jax.lax.top_k(xa, k)
+            v_got, i_got = topk_2stage(xa, k)
+            np.testing.assert_array_equal(np.asarray(v_got),
+                                          np.asarray(v_ref))
+            np.testing.assert_array_equal(np.asarray(i_got),
+                                          np.asarray(i_ref))
+
+
+def test_per_request_greedy_rows_match_argmax():
+    """temp <= 0 rows of the batched sampler return the exact argmax (the
+    fallback now reuses top_ids[:, 0] instead of a second full argmax)."""
+    from biogpt_tpu.runtime.sampling import sample_per_request
+
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(5, 42384).astype(np.float32))
+    out = sample_per_request(
+        jax.random.PRNGKey(0), logits,
+        top_k=jnp.asarray([40, 1, 40, 5, 40], jnp.int32),
+        top_p=jnp.full((5,), 0.9, jnp.float32),
+        temp=jnp.asarray([0.0, 0.8, -1.0, 0.7, 0.0], jnp.float32))
+    am = np.asarray(greedy(logits))
+    got = np.asarray(out)
+    for row in (0, 2, 4):
+        assert got[row] == am[row]

@@ -28,11 +28,12 @@ def main() -> int:
     chunk = int(_s.argv[1]) if len(_s.argv) > 1 else 16
     kv_quant = "kvq" in _s.argv[2:]
     B = int(_s.argv[3]) if len(_s.argv) > 3 else 8
+    sampled = "sampled" in _s.argv
     config = BioGptConfig()
     params = make_random_quantized_params(config, GGML_TYPE_BY_NAME["q4_0"],
                                           seed=0)
     n_pred = 48
-    print(f"chunk={chunk} kv_quant={kv_quant} B={B}", flush=True)
+    print(f"chunk={chunk} kv_quant={kv_quant} B={B} sampled={sampled}", flush=True)
     be = BatchedEngine(config, params, max_batch=B,
                        compute_dtype=jnp.bfloat16, max_seq=512, chunk=chunk,
                        kv_quant=kv_quant)
@@ -53,7 +54,8 @@ def main() -> int:
             rng.integers(4, 24))).tolist(), n_predict=n_pred, request_id=i)
             for i in range(n)]
 
-    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+    gen = GenerationParams(temp=0.8 if sampled else 0.0, seed=3,
+                           top_k=40, top_p=0.9, stop_at_eos=False)
     print("warming (2 serve calls)...", flush=True)
     t0 = time.perf_counter()
     for _ in range(2):
