@@ -65,7 +65,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.codecs import QK, GGML_TYPE_Q5_0, GGML_TYPE_Q5_1
 from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
-from .pallas_qmatmul import unpack_levels_swar
+from .pallas_qmatmul import _expand_blocks, unpack_levels_swar
 
 _LANES = 128
 # Unpacked-weight-tile VMEM budget per matmul step (bytes of bf16).
@@ -186,31 +185,6 @@ def _qmm(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
             col = part if col is None else col + part
         outs.append(col)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-
-
-# How _qmm_dq expands (nb, tile) block scales to (chunk, tile) rows:
-#   "dot"   — block-diagonal 0/1 matmul (exact; K=nb_c puts the MXU at
-#             nb_c/128 utilization)
-#   "bcast" — per-block sublane broadcast + concat (exact; VPU copies)
-# Both are numerically identical (each expanded entry IS one bf16 scale).
-# Measured (round 3, real chip): the batched kernel runs AT the
-# weight+KV traffic roofline with "dot" (0.63 ms/step = 0.28 weights +
-# 0.33 KV at B=8, W=128) — the expansion is hidden under DMA, so the
-# formulation is not on the critical path; "dot" stays the default.
-_SEXP_MODE = _os.environ.get("BIOGPT_SEXP", "dot")
-
-
-def _expand_blocks(plane, nb_c: int):
-    """(nb_c, T) bf16 -> (nb_c*QK, T) f32: row n fills rows n*QK..n*QK+31."""
-    if _SEXP_MODE == "bcast":
-        T = plane.shape[-1]
-        return jnp.concatenate(
-            [jnp.broadcast_to(plane[n:n + 1, :].astype(jnp.float32),
-                              (QK, T)) for n in range(nb_c)], axis=0)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (nb_c * QK, nb_c), 0) // QK
-    nn = jax.lax.broadcasted_iota(jnp.int32, (nb_c * QK, nb_c), 1)
-    expand = (kk == nn).astype(jnp.bfloat16)              # (chunk, nb_c)
-    return jnp.dot(expand, plane, preferred_element_type=jnp.float32)
 
 
 def _qmm_dq(h_bf, lv_ref, sc_ref, mn_ref, *, offset: int, packed: bool,
@@ -795,10 +769,16 @@ def supports_layers(layers: dict, cache_dtype, batch: int, n_new: int) -> bool:
         return False
     if not all((w.mins is None) == (q0.mins is None) for w in qts):
         return False
+    chunk = _CHUNK_BLOCKS * QK
     for w in qts:
         d_out = w.scales.shape[-1]
         d_in = w.scales.shape[-2] * QK
         if d_out % _LANES != 0 or (w.packed and d_in % (2 * QK) != 0):
+            return False
+        # the in-kernel matmuls walk d_in in _CHUNK_BLOCKS*QK pieces with
+        # no remainder path — a d_in like 1536 would silently drop its
+        # tail (same gate as pallas_qmatmul.supports_wide)
+        if d_in > chunk and d_in % chunk != 0:
             return False
     return True
 

@@ -25,6 +25,7 @@ the oracle in tests/test_pallas_qmatmul.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.codecs import QK, GGML_TYPE_Q5_0, GGML_TYPE_Q5_1
 from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
+
+# How _expand_blocks expands (nb, tile) block scales to (chunk, tile) rows:
+#   "dot"   — block-diagonal 0/1 matmul (exact; K=nb_c puts the MXU at
+#             nb_c/128 utilization)
+#   "bcast" — per-block sublane broadcast + concat (exact; VPU copies)
+# Both are numerically identical (each expanded entry IS one bf16 scale).
+# Measured (round 3, real chip): the batched kernel runs AT the
+# weight+KV traffic roofline with "dot" (0.63 ms/step = 0.28 weights +
+# 0.33 KV at B=8, W=128) — the expansion is hidden under DMA, so the
+# formulation is not on the critical path; "dot" stays the default.
+_SEXP_MODE = _os.environ.get("BIOGPT_SEXP", "dot")
+
+
+def _expand_blocks(plane, nb_c: int):
+    """(nb_c, T) bf16 -> (nb_c*QK, T) f32: row n fills rows n*QK..n*QK+31."""
+    if _SEXP_MODE == "bcast":
+        T = plane.shape[-1]
+        return jnp.concatenate(
+            [jnp.broadcast_to(plane[n:n + 1, :].astype(jnp.float32),
+                              (QK, T)) for n in range(nb_c)], axis=0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nb_c * QK, nb_c), 0) // QK
+    nn = jax.lax.broadcasted_iota(jnp.int32, (nb_c * QK, nb_c), 1)
+    expand = (kk == nn).astype(jnp.bfloat16)              # (chunk, nb_c)
+    return jnp.dot(expand, plane, preferred_element_type=jnp.float32)
+
 
 # lane width of the VPU/MXU — output tiles must align to it
 _LANES = 128
@@ -165,6 +191,10 @@ def supports_wide(qt: QuantizedTensor, m: int) -> bool:
     return (
         d_out % _LANES == 0
         and d_in % (2 * QK) == 0
+        # the kernel's dequant loop walks d_in in _WIDE_CHUNK pieces and
+        # has no remainder path — a 1536-wide input would silently drop
+        # its last 512 columns (review-caught; repro'd)
+        and (d_in <= _WIDE_CHUNK or d_in % _WIDE_CHUNK == 0)
         and 8 < m <= 32
     )
 
@@ -189,9 +219,6 @@ def _kernel_wide(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int,
     chunk = min(d_in, _WIDE_CHUNK)
     n_chunks = d_in // chunk
     nb_c = chunk // QK
-    kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 0) // QK
-    nn = jax.lax.broadcasted_iota(jnp.int32, (chunk, nb_c), 1)
-    expand = (kk == nn).astype(jnp.bfloat16)              # (chunk, nb_c)
 
     if packed:
         lv = unpack_levels_swar(lv_ref[:], d_in, five_bit)  # (d_in, T) bf16
@@ -201,14 +228,13 @@ def _kernel_wide(x_ref, lv_ref, sc_ref, mn_ref, out_ref, *, offset: int,
     acc = None
     for c in range(n_chunks):
         b0 = c * nb_c
-        sexp = jnp.dot(expand, sc_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+        sexp = _expand_blocks(
+            sc_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
         w = (lv[c * chunk:(c + 1) * chunk, :].astype(jnp.float32)
              - float(offset)) * sexp
         if mn_ref is not None:
-            w = w + jnp.dot(
-                expand, mn_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
+            w = w + _expand_blocks(
+                mn_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
         part = jnp.dot(x_ref[:, c * chunk:(c + 1) * chunk],
                        w.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)

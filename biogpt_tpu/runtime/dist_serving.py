@@ -109,17 +109,20 @@ class DistributedScheduler:
                  max_reqs_per_tick: int = 8,
                  max_prompt: Optional[int] = None,
                  poll_s: float = 0.05):
+        import dataclasses
+
         import jax
 
         self.engine = engine
-        self.gen = gen or GenerationParams(temp=0.0)
+        gen = gen or GenerationParams(temp=0.0)
         # SPMD determinism: every process must use the same sampling seed
         # (serve() falls back to time() for seed<0, which diverges across
         # hosts) — broadcast process 0's choice once at construction.
+        # The caller's GenerationParams is never mutated (copied).
         from jax.experimental import multihost_utils
-        seed = self.gen.seed if self.gen.seed >= 0 else int(time.time())
-        self.gen.seed = int(multihost_utils.broadcast_one_to_all(
-            np.int32(seed)))
+        seed = gen.seed if gen.seed >= 0 else int(time.time())
+        self.gen = dataclasses.replace(gen, seed=int(
+            multihost_utils.broadcast_one_to_all(np.int32(seed))))
         self.max_reqs = max_reqs_per_tick
         self.max_prompt = max_prompt or engine.max_seq
         self.poll_s = poll_s
@@ -179,7 +182,8 @@ class DistributedScheduler:
         if not self.is_primary:
             raise RuntimeError("abort() is process-0 only (the front door)")
         with self._lock:
-            if request_id not in self._abort_set:
+            if (request_id not in self._abort_set
+                    and request_id not in self._pending_aborts):
                 self._pending_aborts.append(request_id)
                 self.engine.metrics.inc("requests_aborted")
 
@@ -219,10 +223,14 @@ class DistributedScheduler:
         def on_complete(rid, result):
             if not self.is_primary:
                 return
-            self._streams.pop(rid, None)
-            fut = self._futures.pop(rid, None)
-            if fut is not None:
-                fut.set_result(result)
+            with self._lock:
+                self._streams.pop(rid, None)
+                fut = self._futures.pop(rid, None)
+            if fut is not None and not fut.done():
+                try:
+                    fut.set_result(result)
+                except Exception:   # closed concurrently
+                    pass
 
         def on_token(rid, tid):
             if not self.is_primary:
@@ -245,12 +253,25 @@ class DistributedScheduler:
                     self._saw_stop = True
                 return more_reqs
 
+            def decision_sync(mask):
+                # slot freeing consults DRAINED results (EOS) whose timing
+                # is process-local; replicate process 0's view so every
+                # process's SPMD loop launches the same program sequence
+                from jax.experimental import multihost_utils
+
+                arr = np.asarray(mask, np.int32)
+                if not self.is_primary:
+                    arr = np.zeros_like(arr)
+                out = multihost_utils.broadcast_one_to_all(arr)
+                return [bool(v) for v in np.asarray(out)]
+
             self._saw_stop = False
             try:
                 self.engine.serve(reqs, self.gen, more=more,
                                   on_complete=on_complete,
                                   on_token=on_token,
-                                  is_aborted=self._abort_set.__contains__)
+                                  is_aborted=self._abort_set.__contains__,
+                                  decision_sync=decision_sync)
             except Exception as e:
                 if self.is_primary:
                     with self._lock:
@@ -284,6 +305,16 @@ class DistributedScheduler:
             self._stop = True
         if self._thread is not None:
             self._thread.join(timeout=timeout)
-        for fut in self._futures.values():
-            fut.set_exception(RuntimeError("scheduler closed"))
-        self._futures.clear()
+        # the join may have TIMED OUT with the loop still draining:
+        # snapshot under the lock and skip futures that complete
+        # concurrently (set_result on an already-failed future raises
+        # InvalidStateError inside the drain path otherwise)
+        with self._lock:
+            leftovers = list(self._futures.values())
+            self._futures.clear()
+        for fut in leftovers:
+            if not fut.done():
+                try:
+                    fut.set_exception(RuntimeError("scheduler closed"))
+                except Exception:   # completed between the check and here
+                    pass

@@ -18,7 +18,7 @@ class ServingMetrics:
     """Thread-safe monotonic counters for one serving engine."""
 
     _COUNTERS = (
-        "requests_accepted",    # taken off the queue into a slot
+        "requests_accepted",    # taken off the queue (slotted, or aborted pre-slot)
         "requests_completed",   # final token drained (on_complete point)
         "requests_aborted",     # caller-aborted (client disconnect etc.)
         "tokens_emitted",       # generated tokens delivered to results

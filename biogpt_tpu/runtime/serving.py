@@ -479,6 +479,7 @@ class BatchedEngine:
         on_complete=None,
         on_token=None,
         is_aborted=None,
+        decision_sync=None,
     ) -> Dict[int, RequestResult]:
         """Run all requests to completion with continuous slot refill.
 
@@ -508,6 +509,15 @@ class BatchedEngine:
         completes the request with whatever drained — so a disconnected
         client stops burning a slot. Queued requests abort without ever
         taking a slot.
+
+        ``decision_sync``: optional ``f(mask: list[bool]) -> list[bool]``
+        applied to the per-iteration slot-freeness mask. Multi-controller
+        SPMD callers (runtime/dist_serving.py) use it to replicate
+        process 0's view — the EOS part of slot freeing reads drained
+        token values whose arrival timing is process-local, and a
+        divergent mask would make processes launch different global-mesh
+        programs (hang/corruption). Everything control-flow- or
+        device-input-relevant derives from the synced mask.
 
         Three mechanisms keep the host off the critical path (a
         device->host fetch costs a ~26-55 ms sync RPC on this runtime,
@@ -821,7 +831,7 @@ class BatchedEngine:
                     pairs.append((slot, req))
             self.metrics.inc("requests_accepted", n_reg)
             if not pairs:
-                return
+                return []
             # ONE program per refill wave: short prompts pad to the wave's
             # max bucket. A per-bucket split was tried first (round 2) and
             # measured worse — each refill program pays the full packed-
@@ -834,11 +844,13 @@ class BatchedEngine:
             cache, slot_state, lens, rng = self._prefill_group(
                 pairs, cache, rng, gen, slot_state)
             (toks, lengths, first_buf, temps, top_ps, top_ks) = slot_state
+            refilled = [slot for slot, _ in pairs]
             for r, (slot, req) in enumerate(pairs):
                 slot_req[slot] = req
                 lengths_host[slot] = lens[r]
                 sched_new[slot] = 1   # the prefill-sampled first token
                 fresh_slots.append(slot)
+            return refilled
 
         try:
             drained_once = False
@@ -857,15 +869,29 @@ class BatchedEngine:
                                 and lengths_host[b] + self.chunk > self.max_seq
                                 and sched_new[b] < req.n_predict):
                             capped.setdefault(req.request_id, sched_new[b])
-                # refill free slots (one batched prefill per bucket); freeing is
-                # scheduling-based, so n_predict-terminated requests refill with
-                # ZERO drain latency (only EOS early-exit lags)
-                free = [b for b in range(self.B) if queue and slot_free(b)]
+                # ONE slot-freeness decision per scheduling iteration. The
+                # EOS part of slot_free reads DRAINED results whose arrival
+                # time is process-local — under multi-controller SPMD
+                # (runtime/dist_serving.py) that would diverge the global-
+                # mesh program sequence across processes, so the caller may
+                # supply ``decision_sync`` to replicate process 0's view.
+                # Everything control-flow- or device-input-relevant below
+                # (refill, the done check, the live mask, sched_new) derives
+                # from this one mask.
+                free_mask = [slot_free(b) for b in range(self.B)]
+                if decision_sync is not None:
+                    free_mask = decision_sync(free_mask)
+                # refill free slots (one batched prefill per wave); freeing is
+                # scheduling-based, so n_predict-terminated requests refill
+                # with ZERO drain latency (only EOS early-exit lags)
+                free = [b for b in range(self.B) if queue and free_mask[b]]
                 for b in free:
                     slot_req[b] = None
-                refill(free)
+                refilled = refill(free)
+                busy = [(not free_mask[b]) or b in refilled
+                        for b in range(self.B)]
 
-                if all(slot_free(b) for b in range(self.B)):
+                if not any(busy):
                     if not drained_once:
                         # all scheduled: wait for the drain thread to land the
                         # in-flight chunks (their values may reveal EOS for the
@@ -906,10 +932,11 @@ class BatchedEngine:
                 # sampled request joined a greedy batch would stall EVERY
                 # in-flight request on a 20-40 s remote compile per window
                 greedy_now = all_greedy if more is None else False
-                # launch-time binding snapshot (also the kernel's live mask:
-                # only bound slots' logits are health-checked — free slots
-                # compute garbage by design)
-                bound = [slot_req[b] if not slot_free(b) else None
+                # launch-time binding snapshot (also the kernel's live
+                # mask — a DEVICE INPUT, so it derives from the synced
+                # free_mask: only bound slots' logits are health-checked;
+                # free slots compute garbage by design)
+                bound = [slot_req[b] if busy[b] else None
                          for b in range(self.B)]
                 live = jnp.asarray([r is not None for r in bound])
                 # ONE program per chunk; its ``fetch`` output carries first
@@ -934,8 +961,6 @@ class BatchedEngine:
                     fetch.copy_to_host_async()
                 except Exception:   # pragma: no cover - backend-dependent
                     pass
-                bound = [slot_req[b] if not slot_free(b) else None
-                         for b in range(self.B)]
                 for b in range(self.B):
                     if bound[b] is not None:
                         sched_new[b] += self.chunk
@@ -1097,6 +1122,10 @@ class ServingScheduler:
 
             def on_complete(rid, result):
                 streams.pop(rid, None)
+                # completed ids never recur (monotonic id allocation), so
+                # the abort set can forget them — a long-lived server with
+                # disconnect-heavy traffic must not grow it unboundedly
+                self._aborted.discard(rid)
                 fut = futures.pop(rid, None)
                 if fut is not None:
                     fut.set_result(result)

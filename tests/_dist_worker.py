@@ -104,8 +104,11 @@ def _dserve_checks(pid: int) -> None:
     mesh = make_mesh(data=2, model=2)
     be = BatchedEngine(cfg, params, max_batch=2, compute_dtype=jnp.float32,
                        chunk=4, mesh=mesh)
+    # stop_at_eos=True (the production default) exercises the synced
+    # slot-freeing decision: EOS-based freeing reads process-local drain
+    # state, replicated via serve()'s decision_sync hook
     sched = DistributedScheduler(
-        be, GenerationParams(temp=0.0, seed=5, stop_at_eos=False),
+        be, GenerationParams(temp=0.0, seed=5, stop_at_eos=True),
         max_reqs_per_tick=4, poll_s=0.02)
 
     if pid != 0:
@@ -127,7 +130,7 @@ def _dserve_checks(pid: int) -> None:
     for i, (p, res) in enumerate(zip(prompts, results)):
         n = 4 if i == 3 else 5
         expect = ref.generate(p, GenerationParams(
-            n_predict=n, temp=0.0, stop_at_eos=False)).ids
+            n_predict=n, temp=0.0, stop_at_eos=True)).ids
         assert res.ids == expect, (i, res.ids, expect)
     assert toks0 == results[0].new_ids, (toks0, results[0].new_ids)
 

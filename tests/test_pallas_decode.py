@@ -431,3 +431,16 @@ def test_engine_uses_fused_greedy_tail():
     finally:
         set_pallas_mode("auto")
     assert fused_ids == plain_ids
+
+
+def test_supports_layers_rejects_chunk_remainder_d_in():
+    """A hypothetical d_model like 1536 (not a multiple of the kernel's
+    1024-wide dequant chunk) must not engage the megakernel — its matmul
+    loops have no remainder path (review finding, round 3)."""
+    cfg = BioGptConfig.tiny(d_model=1536, d_ff=1536, n_head=4, n_layer=1,
+                            n_vocab=256, n_positions=32)
+    sd = make_state_dict(cfg, seed=3)
+    params = params_from_state_dict(sd, cfg, qtype=codecs.GGML_TYPE_Q4_0)
+    packed = _pack_matmul_weights(params)
+    assert not supports_layers(packed["layers"], jnp.bfloat16, batch=1,
+                               n_new=1)

@@ -243,3 +243,21 @@ def test_lm_head_argmax_single_tile():
         jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb), qt,
         n_valid=128, ln_eps=1e-5, interpret=True))
     np.testing.assert_array_equal(got, logits.argmax(-1))
+
+
+def test_wide_kernel_rejects_chunk_remainder_d_in():
+    """d_in > 1024 that is not a multiple of the kernel's chunk would
+    silently drop its tail columns — the gate must reject it (review
+    finding, round 3; the XLA fallback handles such shapes exactly)."""
+    from biogpt_tpu.ops import matmul
+    from biogpt_tpu.ops.pallas_qmatmul import supports_wide
+
+    base = _qt(codecs.GGML_TYPE_Q4_0, d_out=256, d_in=1536, seed=9)
+    qt = pack_nibble_planes(base)
+    assert not supports_wide(qt, 16)
+    # and the dispatch produces the EXACT product via the fallback
+    rng = np.random.RandomState(10)
+    x = rng.randn(16, 1536).astype(np.float32)
+    got = np.asarray(matmul(jnp.asarray(x), qt))
+    expect = x @ np.asarray(dequantize(base))
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-3)
