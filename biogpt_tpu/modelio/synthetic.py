@@ -313,3 +313,48 @@ def write_synthetic_model(
                for name, arr in sd.items())
     ggml_format.write_model_file(path, config, vocab, merges, records)
     return config
+
+
+def write_synthetic_hf_dir(
+    dir_path: str | Path,
+    config: BioGptConfig | None = None,
+    seed: int = 0,
+) -> BioGptConfig:
+    """Write a synthetic HuggingFace-style BioGPT checkpoint DIRECTORY.
+
+    Produces exactly the files ``tools/convert_hf.py`` consumes —
+    ``config.json`` (HF schema keys), ``vocab.json``, ``merges.txt``, and
+    ``pytorch_model.bin`` — so the real-weights runbook's offline steps
+    (``tools/fetch_weights.sh --synthetic``: convert → quantize → Δppl →
+    greedy demo) stay executable and CI-tested in this zero-egress
+    environment. The reference's counterpart input is the actual
+    ``microsoft/biogpt`` download (reference convert.py reads the same
+    four files).
+    """
+    import torch
+
+    config = config or BioGptConfig.tiny()
+    dir_path = Path(dir_path)
+    dir_path.mkdir(parents=True, exist_ok=True)
+    vocab, merges = make_char_vocab(config.n_vocab)
+    hf = {
+        "model_type": "biogpt",
+        "vocab_size": config.n_vocab,
+        "hidden_size": config.d_model,
+        "intermediate_size": config.d_ff,
+        "num_hidden_layers": config.n_layer,
+        "num_attention_heads": config.n_head,
+        "max_position_embeddings": config.n_positions,
+    }
+    with open(dir_path / "config.json", "w", encoding="utf-8") as f:
+        json.dump(hf, f)
+    with open(dir_path / "vocab.json", "w", encoding="utf-8") as f:
+        json.dump(vocab, f)
+    with open(dir_path / "merges.txt", "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    sd = make_state_dict(config, seed=seed)
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()},
+               dir_path / "pytorch_model.bin")
+    return config

@@ -1,6 +1,7 @@
 """Model file format + converter + quantizer tests."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -217,3 +218,45 @@ def test_state_dict_disk_cache_roundtrip(tmp_path, monkeypatch):
         synthetic._sd_cache_path(config, 10, 0.05)
     assert synthetic._sd_cache_path(config, 9, 0.05) != \
         synthetic._sd_cache_path(config, 9, 0.1)
+
+
+def test_synthetic_hf_dir_converts(tmp_path):
+    """write_synthetic_hf_dir produces exactly what convert_hf consumes:
+    the runbook's offline entry point (tools/fetch_weights.sh --synthetic)."""
+    from biogpt_tpu.modelio.synthetic import write_synthetic_hf_dir
+    from biogpt_tpu.tools.convert_hf import convert
+
+    hf_dir = tmp_path / "hf"
+    config = write_synthetic_hf_dir(hf_dir, seed=3)
+    out = convert(hf_dir, tmp_path / "out", verbose=False)
+    loaded_cfg, _, _, params = load_params(out)
+    assert loaded_cfg.n_vocab == config.n_vocab
+    assert loaded_cfg.n_layer == config.n_layer
+    # values survive the torch.save -> convert -> ggml -> load round trip
+    sd = make_state_dict(config, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["fc1"]["b"][0]),
+        sd["biogpt.layers.0.fc1.bias"], rtol=0, atol=0)
+
+
+def test_fetch_weights_script_offline(tmp_path):
+    """The real-weights runbook's offline portion (steps 2-5) must stay
+    executable: run tools/fetch_weights.sh --synthetic end to end (VERDICT
+    r3 #7 — the recipe must not rot while the fetch stays blocked)."""
+    import pathlib
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ, FETCH_OUT=str(tmp_path / "w"),
+               FETCH_PLATFORM="cpu", FETCH_FAMILIES="q4_0",
+               FETCH_NPREDICT="4")
+    proc = subprocess.run(
+        ["bash", str(repo / "tools" / "fetch_weights.sh"), "--synthetic"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = tmp_path / "w"
+    assert (out / "ggml-model.bin").exists()
+    assert (out / "ggml-model-q4_0.bin").exists()
+    assert (out / "ppl-f32.json").exists()
+    assert (out / "ppl-q4_0.json").exists()
+    assert "COVID-19 is" in (out / "demo-q4_0.txt").read_text()
