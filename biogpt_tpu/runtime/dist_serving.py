@@ -101,14 +101,21 @@ class DistributedScheduler:
     on top unchanged.
 
     ``max_reqs_per_tick`` × ``max_prompt`` fixes the broadcast buffer
-    shape (one collective compiles once); ``poll_s`` paces the idle tick.
+    shape (one collective compiles once); ``poll_s`` paces the idle tick
+    and doubles up to ``idle_max_s`` while no requests flow (each idle
+    tick is a cross-host collective — an idle pod must not broadcast at
+    20 Hz forever). The backoff schedule is a pure function of the tick
+    outcomes, which every process decodes identically, so the
+    collectives stay matched; worst-case added intake latency is one
+    ``idle_max_s``.
     """
 
     def __init__(self, engine: BatchedEngine,
                  gen: GenerationParams | None = None,
                  max_reqs_per_tick: int = 8,
                  max_prompt: Optional[int] = None,
-                 poll_s: float = 0.05):
+                 poll_s: float = 0.05,
+                 idle_max_s: float = 0.5):
         import dataclasses
 
         import jax
@@ -126,6 +133,8 @@ class DistributedScheduler:
         self.max_reqs = max_reqs_per_tick
         self.max_prompt = max_prompt or engine.max_seq
         self.poll_s = poll_s
+        self.idle_max_s = max(idle_max_s, poll_s)
+        self._idle_s = poll_s   # current idle sleep (observable in tests)
         self.is_primary = jax.process_index() == 0
 
         self._lock = threading.Lock()
@@ -244,8 +253,13 @@ class DistributedScheduler:
             if stop:
                 return
             if not reqs:
-                time.sleep(self.poll_s)
+                # idle backoff: sleep doubles toward idle_max_s so an idle
+                # cluster stops paying a 20 Hz broadcast; every process
+                # derives the same schedule from the same (empty) ticks
+                time.sleep(self._idle_s)
+                self._idle_s = min(self._idle_s * 2, self.idle_max_s)
                 continue
+            self._idle_s = self.poll_s
 
             def more():
                 more_reqs, more_stop = self._tick()

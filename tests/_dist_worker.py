@@ -152,6 +152,10 @@ def _dserve_checks(pid: int) -> None:
 
 def main() -> int:
     port, pid, mode = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    # optional process count (default 2): the 4-process dserve variant runs
+    # 1 device/process over the same global 2x2 mesh — collective ordering
+    # bugs that 2 processes can't expose (a tick participant per device)
+    nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
@@ -164,15 +168,15 @@ def main() -> int:
     from biogpt_tpu.parallel.distributed import initialize, is_primary
 
     if mode in ("api", "model", "dserve"):
-        initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+        initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
 
     if mode == "model":
-        assert jax.process_count() == 2 and len(jax.devices()) == 4
+        assert jax.process_count() == nproc and len(jax.devices()) == 4
         _model_checks(pid)
         return 0
 
     if mode == "dserve":
-        assert jax.process_count() == 2 and len(jax.devices()) == 4
+        assert jax.process_count() == nproc and len(jax.devices()) == 4
         _dserve_checks(pid)
         return 0
 

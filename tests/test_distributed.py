@@ -29,15 +29,15 @@ def _free_port() -> int:
     return port
 
 
-def _env() -> dict:
+def _env(devices_per_proc: int = 2) -> dict:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # 2 virtual CPU devices per process (fresh value: the parent's 8-device
+    # virtual CPU devices per process (fresh value: the parent's 8-device
     # flag must not leak through)
     flags = [f for f in env.get("XLA_FLAGS", "").split()
              if "xla_force_host_platform_device_count" not in f]
     env["XLA_FLAGS"] = " ".join(
-        flags + ["--xla_force_host_platform_device_count=2"])
+        flags + [f"--xla_force_host_platform_device_count={devices_per_proc}"])
     return env
 
 
@@ -103,6 +103,32 @@ def test_two_process_distributed_scheduler():
         [sys.executable, WORKER, str(port), str(i), "dserve"],
         cwd=REPO, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, out
+        assert f"DIST_SERVE_OK {i}" in out, out
+
+
+def test_four_process_distributed_scheduler():
+    """The dserve lockstep at pod-like process count: FOUR processes with
+    one device each over the same global 2x2 mesh. Every tick broadcast
+    and decision_sync now has four participants — collective-ordering
+    bugs (a worker joining a tick one iteration late, a decision_sync
+    racing a tick) that two processes cannot expose show up here."""
+    port = _free_port()
+    env = _env(devices_per_proc=1)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(i), "dserve", "4"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(4)]
     outs = []
     try:
         for p in procs:

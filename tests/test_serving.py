@@ -123,6 +123,29 @@ def test_distributed_scheduler_single_process(tiny_params, single_engine):
         sched.submit([2, 5], n_predict=2)
 
 
+def test_distributed_scheduler_idle_backoff(tiny_params, single_engine):
+    """An idle scheduler's tick sleep doubles to idle_max_s (an idle pod
+    must not broadcast at 20 Hz forever) and recovers: a request submitted
+    after the backoff reached its cap still serves, and serving resets the
+    sleep to poll_s."""
+    import time
+
+    from biogpt_tpu.runtime.dist_serving import DistributedScheduler
+
+    be = BatchedEngine(TINY, tiny_params, max_batch=2,
+                       compute_dtype=jnp.float32, chunk=4)
+    sched = DistributedScheduler(
+        be, GenerationParams(temp=0.0, seed=3, stop_at_eos=False),
+        poll_s=0.01, idle_max_s=0.08)
+    deadline = time.time() + 30
+    while sched._idle_s < 0.08 and time.time() < deadline:
+        time.sleep(0.01)
+    assert sched._idle_s == 0.08   # reached the cap while idle
+    f = sched.submit([2, 5, 9], n_predict=4)
+    assert f.result(timeout=120).ids == _expected(single_engine, [2, 5, 9], 4)
+    sched.close()
+
+
 def test_distributed_scheduler_serves_http(tiny_params):
     """The HTTP front-end binds to DistributedScheduler unchanged (same
     submit surface) — the multi-host front door is the same server."""
