@@ -23,7 +23,17 @@ Env:
   BENCH_QTYPE=q4_0..q8_0|f32   quant family (default q4_0)
   BENCH_PACK_Q4=0              disable the packed Pallas path
   BENCH_SERVING=0              skip the serving aggregate metric
+  BENCH_SERVING_MIXED=0        skip the production-shaped serving metric
+                               (mixed prompt/predict lengths, EOS on,
+                               per-request sampling — the honest serving
+                               number next to the uniform-greedy one)
   BENCH_PREFILL=0              skip the prefill metric
+  BENCH_FAMILY=1               single-process quant-family sweep: all five
+                               codecs interleaved round-robin in ONE
+                               process (valid within-table ranking), then
+                               exit
+  BENCH_SEQ=N                  serving KV window cap (default 512; use
+                               1024 for the long-window int8-KV table)
   BENCH_MESH=DxM               run the engine over a (data=D, model=M) mesh
                                (shard_map TP path) — for multi-chip rounds;
                                requires D*M <= len(jax.devices())
@@ -70,7 +80,7 @@ TINY = os.environ.get("BENCH_TINY", "0") == "1"
 DECODE_SHORT, DECODE_LONG = (8, 24) if TINY else (64, 320)
 PREFILL_LEN = 32 if TINY else 512
 SERVE_PRED = 8 if TINY else 48
-SERVE_SEQ = 64 if TINY else 512
+SERVE_SEQ = int(os.environ.get("BENCH_SEQ", "64" if TINY else "512"))
 # serving slots: weight bytes amortize across slots in the batched
 # megakernel, so aggregate keeps climbing well past 8 (measured round 3:
 # ~7.9k tok/s at B=8, ~13k at B=16, ~15k at B=32 for the 48-token
@@ -244,6 +254,123 @@ def bench_serving(params, config, qname: str, single_stream_tok_s: float,
          marginal_tokens_per_sec=round(marginal, 1))
 
 
+def bench_serving_mixed(params, config, qname: str, mesh=None,
+                        kv_quant: bool = False) -> None:
+    """Production-shaped serving: mixed prompt lengths (incl. 256-384-token
+    prompts), mixed n_predict (16-96, so completions stagger and PARTIAL
+    refills run under measurement), stop_at_eos=True, and per-request
+    sampling on (~25% greedy rows, the rest temp 0.7-1.0 / top-k 40 /
+    top-p 0.9). The uniform-greedy metric above is the engine's best case
+    (synchronized full-wave refills, no EOS checks, trivial prefills);
+    this one is what a serving operator actually runs (VERDICT r3 #1)."""
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    B = SERVE_SLOTS
+    be = BatchedEngine(config, params, max_batch=B,
+                       compute_dtype=jnp.bfloat16, max_seq=SERVE_SEQ,
+                       chunk=16, mesh=mesh, kv_quant=kv_quant)
+    vmax = min(40000, config.n_vocab - 2)
+    # prompt classes (full-size): short chat-like, medium, long-document —
+    # three bucket families so the refill-program set stays bounded while
+    # the 512 bucket (long prompts) is genuinely exercised
+    classes = ([(0.6, 5, 25), (0.25, 100, 124), (0.15, 300, 380)]
+               if not TINY else [(0.7, 4, 12), (0.3, 16, 30)])
+    preds = [16, 32, 48, 64, 96] if not TINY else [4, 8]
+
+    def make_reqs(n, seed):
+        rng = np.random.default_rng(seed)
+        reqs = []
+        for i in range(n):
+            u = rng.random()
+            acc = 0.0
+            for frac, lo, hi in classes:
+                acc += frac
+                if u < acc or (frac, lo, hi) == classes[-1]:
+                    plen = int(rng.integers(lo, hi + 1))
+                    break
+            greedy_row = rng.random() < 0.25
+            reqs.append(Request(
+                prompt_ids=[2] + rng.integers(4, vmax,
+                                              size=plen - 1).tolist(),
+                n_predict=int(rng.choice(preds)), request_id=i,
+                temp=0.0 if greedy_row else float(
+                    rng.choice([0.7, 0.9, 1.0])),
+                top_k=40, top_p=0.9))
+        return reqs
+
+    gen = GenerationParams(temp=0.7, top_k=40, top_p=0.9,
+                           stop_at_eos=True, seed=11)
+    # warm twice: first run compiles the sampled scan + the refill-bucket
+    # family this workload reaches; second absorbs deep-queue warmup
+    for w in range(2):
+        be.serve(make_reqs(2 * B, seed=90 + w), gen)
+
+    absolutes = []
+    n_reqs = 4 * B
+    for r in range(5):
+        reqs = make_reqs(n_reqs, seed=100 + r)
+        t0 = time.perf_counter()
+        results = be.serve(reqs, gen)
+        dt = time.perf_counter() - t0
+        toks = sum(len(res.new_ids) for res in results.values())
+        absolutes.append(toks / dt)
+        log(f"serving_mixed[{r}]: {absolutes[-1]:.1f} tok/s absolute "
+            f"({toks} tokens in {dt:.2f}s)")
+    agg = sorted(absolutes)[len(absolutes) // 2]
+    log(f"serving_mixed: median {agg:.1f} tok/s absolute at B={B} "
+        f"over {n_reqs} mixed requests")
+    emit(f"{qname}_serving_mixed_tokens_per_sec", agg, "tokens/s",
+         BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
+         batch_slots=B, n_requests=n_reqs,
+         spread=[round(s, 1) for s in sorted(absolutes)],
+         workload={"prompt_classes": [list(c) for c in classes],
+                   "n_predict_choices": preds, "stop_at_eos": True,
+                   "sampling": "per-request (25% greedy)"})
+
+
+def bench_family(config, use_pallas: bool) -> None:
+    """Single-process quant-family sweep (VERDICT r3 #4): all five codecs'
+    engines live in ONE process and their decode runs interleave round-
+    robin, so within-table ranking reflects the codecs, not cross-process
+    chip-state drift (the per-process BENCH_QTYPE table measured Q5_1
+    'faster' than Q4_0 purely from that drift — RESULTS.md round 3)."""
+    families = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0"]
+    gen_s = GenerationParams(n_predict=DECODE_SHORT, temp=0.0,
+                             stop_at_eos=False)
+    gen_l = GenerationParams(n_predict=DECODE_LONG, temp=0.0,
+                             stop_at_eos=False)
+    engines = {}
+    for q in families:
+        log(f"family: building + warming {q}...")
+        params = make_random_quantized_params(
+            config, GGML_TYPE_BY_NAME[q], seed=0)
+        engines[q] = Engine(config, params, compute_dtype=jnp.bfloat16,
+                            pack_q4=use_pallas)
+        engines[q].warmup(prompt_len=len(PROMPT), n_tokens=DECODE_LONG,
+                          sampled=False)
+    samples = {q: [] for q in families}
+    repeats = int(os.environ.get("BENCH_FAMILY_REPEATS", "3"))
+    for r in range(repeats):
+        for q in families:   # interleaved: each round sees the same chip
+            eng = engines[q]
+            t1 = time.perf_counter()
+            rs = eng.generate(PROMPT, gen_s)
+            t_short = time.perf_counter() - t1
+            t2 = time.perf_counter()
+            rl = eng.generate(PROMPT, gen_l)
+            t_long = time.perf_counter() - t2
+            n = len(rl.new_ids) - len(rs.new_ids)
+            samples[q].append((t_long - t_short) / n)
+            log(f"family[{r}] {q}: {samples[q][-1]*1e3:.3f} ms/token")
+    for q in families:
+        ss = sorted(samples[q])
+        ms = ss[len(ss) // 2]
+        emit(f"{q}_decode_tokens_per_sec_family", 1.0 / ms, "tokens/s",
+             BASELINES_TOK_S[q], ms_per_token=round(ms * 1e3, 4),
+             interleaved=True, n_runs=repeats,
+             spread_ms=[round(s * 1e3, 4) for s in ss])
+
+
 def main() -> int:
     config = (BioGptConfig.tiny(d_model=512, d_ff=512, n_head=4, n_layer=2,
                                 n_vocab=300, n_positions=64)
@@ -251,6 +378,9 @@ def main() -> int:
     qname = os.environ.get("BENCH_QTYPE", "q4_0")
     use_pallas = os.environ.get("BENCH_PACK_Q4", "1") == "1"
     log(f"devices: {jax.devices()}")
+    if os.environ.get("BENCH_FAMILY", "0") == "1":
+        bench_family(config, use_pallas)
+        return 0
     log(f"building {qname} params (random, real layout)...")
     if qname == "f32":
         params = params_from_state_dict(make_state_dict(config, seed=0), config)
@@ -284,6 +414,9 @@ def main() -> int:
     if os.environ.get("BENCH_SERVING", "1") == "1":
         bench_serving(params, config, qname, single_marginal, mesh=mesh,
                       kv_quant=kv_quant)
+    if os.environ.get("BENCH_SERVING_MIXED", "1") == "1":
+        bench_serving_mixed(params, config, qname, mesh=mesh,
+                            kv_quant=kv_quant)
     return 0
 
 
