@@ -28,6 +28,11 @@ Env:
                                per-request sampling — the honest serving
                                number next to the uniform-greedy one)
   BENCH_PREFILL=0              skip the prefill metric
+  BENCH_DECODE=0               skip decode+prefill (targeted serving runs)
+  BENCH_PAGED=1                per-slot ("paged") KV reads in the mixed
+                               serving bench — each slot streams only its
+                               own live blocks instead of the batch-wide
+                               window that long prompts force on everyone
   BENCH_FAMILY=1               single-process quant-family sweep: all five
                                codecs interleaved round-robin in ONE
                                process (valid within-table ranking), then
@@ -255,7 +260,8 @@ def bench_serving(params, config, qname: str, single_stream_tok_s: float,
 
 
 def bench_serving_mixed(params, config, qname: str, mesh=None,
-                        kv_quant: bool = False) -> None:
+                        kv_quant: bool = False,
+                        paged_kv: bool = False) -> None:
     """Production-shaped serving: mixed prompt lengths (incl. 256-384-token
     prompts), mixed n_predict (16-96, so completions stagger and PARTIAL
     refills run under measurement), stop_at_eos=True, and per-request
@@ -268,7 +274,8 @@ def bench_serving_mixed(params, config, qname: str, mesh=None,
     B = SERVE_SLOTS
     be = BatchedEngine(config, params, max_batch=B,
                        compute_dtype=jnp.bfloat16, max_seq=SERVE_SEQ,
-                       chunk=16, mesh=mesh, kv_quant=kv_quant)
+                       chunk=16, mesh=mesh, kv_quant=kv_quant,
+                       paged_kv=paged_kv)
     vmax = min(40000, config.n_vocab - 2)
     # prompt classes (full-size): short chat-like, medium, long-document —
     # three bucket families so the refill-program set stays bounded while
@@ -300,15 +307,19 @@ def bench_serving_mixed(params, config, qname: str, mesh=None,
 
     gen = GenerationParams(temp=0.7, top_k=40, top_p=0.9,
                            stop_at_eos=True, seed=11)
-    # warm twice: first run compiles the sampled scan + the refill-bucket
-    # family this workload reaches; second absorbs deep-queue warmup
-    for w in range(2):
-        be.serve(make_reqs(2 * B, seed=90 + w), gen)
-
+    # Warm EVERY measured workload once: which refill (rows, bucket)
+    # programs a run needs depends on its random completion staggering, so
+    # warming a couple of generic workloads left later seeds hitting fresh
+    # shapes mid-measurement — one 20-40 s remote compile poisons that
+    # run's number. The first warm pass also absorbs the one-time
+    # deep-queue cost; repeat processes hit the persistent compile cache.
     absolutes = []
     n_reqs = 4 * B
-    for r in range(5):
-        reqs = make_reqs(n_reqs, seed=100 + r)
+    seeds = [100 + r for r in range(5)]
+    for s in seeds:
+        be.serve(make_reqs(n_reqs, seed=s), gen)
+    for r, s in enumerate(seeds):
+        reqs = make_reqs(n_reqs, seed=s)
         t0 = time.perf_counter()
         results = be.serve(reqs, gen)
         dt = time.perf_counter() - t0
@@ -319,7 +330,8 @@ def bench_serving_mixed(params, config, qname: str, mesh=None,
     agg = sorted(absolutes)[len(absolutes) // 2]
     log(f"serving_mixed: median {agg:.1f} tok/s absolute at B={B} "
         f"over {n_reqs} mixed requests")
-    emit(f"{qname}_serving_mixed_tokens_per_sec", agg, "tokens/s",
+    suffix = "_paged" if paged_kv else ""
+    emit(f"{qname}_serving_mixed{suffix}_tokens_per_sec", agg, "tokens/s",
          BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
          batch_slots=B, n_requests=n_reqs,
          spread=[round(s, 1) for s in sorted(absolutes)],
@@ -399,24 +411,29 @@ def main() -> int:
     if kv_quant:
         qname += "_kvq"
 
-    eng = Engine(config, params, compute_dtype=jnp.bfloat16,
-                 pack_q4=use_pallas, mesh=mesh, kv_quant=kv_quant)
-    log(f"megakernel={eng._fused_decode}; warming up (compile ~20-40s/program"
-        f" + one-time deep-queue warmup, can take minutes)...")
-    t0 = time.perf_counter()
-    eng.warmup(prompt_len=len(PROMPT), n_tokens=DECODE_LONG, sampled=False)
-    log(f"warmup: {time.perf_counter() - t0:.1f}s")
-
-    single_marginal = bench_decode(eng, qname)
-    if os.environ.get("BENCH_PREFILL", "1") == "1":
-        bench_prefill(eng, qname)
-    del eng
+    single_marginal = 0.0
+    if os.environ.get("BENCH_DECODE", "1") == "1":
+        eng = Engine(config, params, compute_dtype=jnp.bfloat16,
+                     pack_q4=use_pallas, mesh=mesh, kv_quant=kv_quant)
+        log(f"megakernel={eng._fused_decode}; warming up (compile "
+            f"~20-40s/program + one-time deep-queue warmup, can take "
+            f"minutes)...")
+        t0 = time.perf_counter()
+        eng.warmup(prompt_len=len(PROMPT), n_tokens=DECODE_LONG,
+                   sampled=False)
+        log(f"warmup: {time.perf_counter() - t0:.1f}s")
+        single_marginal = bench_decode(eng, qname)
+        if os.environ.get("BENCH_PREFILL", "1") == "1":
+            bench_prefill(eng, qname)
+        del eng
     if os.environ.get("BENCH_SERVING", "1") == "1":
         bench_serving(params, config, qname, single_marginal, mesh=mesh,
                       kv_quant=kv_quant)
     if os.environ.get("BENCH_SERVING_MIXED", "1") == "1":
         bench_serving_mixed(params, config, qname, mesh=mesh,
-                            kv_quant=kv_quant)
+                            kv_quant=kv_quant,
+                            paged_kv=os.environ.get("BENCH_PAGED",
+                                                    "0") == "1")
     return 0
 
 

@@ -228,7 +228,8 @@ def shard_params_tp(params: dict, mesh: Mesh):
 
 # ---------------------------------------------------------------- forward
 
-def make_tp_forward(mesh: Mesh, seq_parallel: bool = True):
+def make_tp_forward(mesh: Mesh, seq_parallel: bool = True,
+                    fused_decode: bool = False):
     """A drop-in for models.biogpt.forward that runs the whole step as a
     shard_map over ``mesh`` (see module docstring). Same signature/static
     args, so the engine jits it exactly like the single-device forward.
@@ -238,9 +239,24 @@ def make_tp_forward(mesh: Mesh, seq_parallel: bool = True):
     over N, reduce_scatter+all_gather at the joins instead of psum — the
     collective-overlap scheduling of SURVEY §2.1(e)). Decode (N=1) and
     non-divisible lengths fall back to the psum formulation; both are
-    numerically identical (tests/test_sharding.py)."""
+    numerically identical (tests/test_sharding.py).
+
+    ``fused_decode`` (opt-in): decode-shaped calls (N == 1, bf16 KVCache,
+    supported local shard widths) route through the TP megakernel —
+    per-layer kernel halves with the Megatron psums between
+    (ops/pallas_decode_tp.py) — instead of the per-op shard_map body
+    (measured 3.2x the single-device megakernel's cost, RESULTS.md round
+    3). Prefill shapes, int8-KV caches, and unsupported shapes keep the
+    per-op path. Whether the kernels engage is decided when this factory
+    runs: on a TPU backend they run compiled; elsewhere they require
+    ``ops.qmatmul.set_pallas_mode(True)`` and run in interpret mode (the
+    virtual-mesh verification lane, tests/test_sharding.py)."""
     tp = mesh.shape[MODEL_AXIS]
     dp = mesh.shape[DATA_AXIS]
+    from ..ops.qmatmul import _PALLAS_MODE
+    _interpret = jax.default_backend() != "tpu"
+    fused_on = fused_decode and (_PALLAS_MODE is True or
+                                 (not _interpret and _PALLAS_MODE is not False))
 
     def tp_forward(params, tokens, cache, past, config: BioGptConfig,
                    compute_dtype=jnp.float32, causal: bool = True,
@@ -277,8 +293,22 @@ def make_tp_forward(mesh: Mesh, seq_parallel: bool = True):
         N = tokens.shape[1]
         seq_shard = seq_parallel and tp > 1 and N > 1 and N % tp == 0
 
+        from ..ops.pallas_decode_tp import supports_layers_tp
+        use_fused = (
+            fused_on and N == 1 and causal and logits_mode == "last"
+            and last_index is None and kv_window is not None
+            and not isinstance(cache, QuantKVCache)
+            and cache.k.dtype == jnp.bfloat16
+            and supports_layers_tp(params.get("layers", {}), tp,
+                                   batch=B // (dp if dspec else 1)))
+
         def body(params, tokens, cache, past, *rest):
             li = rest[0] if rest else None
+            if use_fused:
+                return _fused_decode_body(
+                    params, tokens, cache, past, config, tp,
+                    compute_dtype=compute_dtype, kv_window=kv_window,
+                    interpret=_interpret)
             return forward(
                 params, tokens, cache, past, config,
                 compute_dtype=compute_dtype, causal=causal,
@@ -292,6 +322,61 @@ def make_tp_forward(mesh: Mesh, seq_parallel: bool = True):
         )(*body_args)
 
     return tp_forward
+
+
+def _fused_decode_body(params, tokens, cache, past, config: BioGptConfig,
+                       tp: int, *, compute_dtype, kv_window: int,
+                       interpret: bool):
+    """Per-shard body for the TP megakernel decode step.
+
+    The TP analog of models.biogpt.forward_fused_decode: embedding and the
+    epilogue (final LN, column-parallel lm_head + all_gather) stay XLA ops;
+    the layer stack runs as per-layer kernel halves with the Megatron
+    psums between (ops/pallas_decode_tp.decode_step_fused_tp). Cache-row
+    writes land in the LOCAL shard at each slot's own position — the same
+    per-slot commit as the single-device megakernel path.
+    """
+    import math
+
+    from ..models.biogpt import _layer_norm
+    from ..ops import embedding_lookup, matmul
+    from ..ops.pallas_decode_tp import decode_step_fused_tp
+
+    B, N = tokens.shape
+    assert N == 1
+    D = config.d_model
+    emb = embedding_lookup(tokens, params["embed_tokens"]) * math.sqrt(D)
+    past_vec = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
+    pos = past_vec.reshape(B, 1) + config.pos_offset
+    pos_emb = embedding_lookup(pos, params["embed_positions"])
+    x0 = (emb + pos_emb).reshape(B, D)
+
+    x, k_rows, v_rows = decode_step_fused_tp(
+        x0, params["layers"], cache.k, cache.v, past_vec,
+        n_head=config.n_head, tp_size=tp, tp_axis=MODEL_AXIS,
+        window=kv_window, ln_eps=config.ln_eps, interpret=interpret)
+
+    L = cache.k.shape[0]
+    Dloc = cache.k.shape[-1]
+    zero = jnp.zeros((), jnp.int32)
+    k_new, v_new = cache.k, cache.v
+    for b in range(B):
+        idx = (zero, jnp.int32(b), past_vec[b], zero)
+        k_new = jax.lax.dynamic_update_slice(
+            k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
+                k_new.dtype), idx)
+        v_new = jax.lax.dynamic_update_slice(
+            v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
+                v_new.dtype), idx)
+    cache = KVCache(k=k_new, v=v_new)
+
+    x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
+                    config.ln_eps)
+    logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
+                    allow_pallas=not interpret)
+    logits = jax.lax.all_gather(logits, MODEL_AXIS, axis=-1, tiled=True)
+    return logits[..., :config.n_vocab], cache
 
 
 def supports_tp(config: BioGptConfig, tp: int) -> bool:

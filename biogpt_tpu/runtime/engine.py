@@ -144,6 +144,7 @@ class Engine:
         pack_q4: bool = True,
         kv_quant: bool = False,
         health_check: bool = True,
+        tp_fused_decode: bool = False,
     ):
         self.config = config
         self.compute_dtype = compute_dtype
@@ -161,6 +162,7 @@ class Engine:
         # cannot partition a custom kernel, which is what forced round 1's
         # mesh engine onto the slow unpacked XLA path.
         self._tp_fwd = None
+        self._tp_fused = False
         if mesh is not None and pack_q4:
             from ..parallel.mesh import MODEL_AXIS
             from ..parallel.tp import (make_tp_forward, pack_params_tp,
@@ -168,7 +170,13 @@ class Engine:
             tp = mesh.shape[MODEL_AXIS]
             if supports_tp(config, tp):
                 params = pack_params_tp(params, tp)
-                self._tp_fwd = make_tp_forward(mesh)
+                # opt-in TP megakernel (VERDICT r3 #3): decode-shaped calls
+                # route through the per-layer kernel halves + Megatron
+                # psums (ops/pallas_decode_tp.py); prefill stays per-op.
+                # Needs a bf16 cache — forced below.
+                self._tp_fused = tp_fused_decode and not kv_quant
+                self._tp_fwd = make_tp_forward(
+                    mesh, fused_decode=self._tp_fused)
         # Default ON: the block-structured Pallas kernel measures ~2.5x
         # faster than the XLA block-accum path under honest (fetch-synced)
         # timing (RESULTS.md).
@@ -199,9 +207,11 @@ class Engine:
             and supports_layers(params.get("layers", {}), jnp.bfloat16,
                                 batch=1, n_new=1))
         # fp16 KV cache (the north-star upgrade over the reference's f32);
-        # bf16 when the megakernel path is live.
+        # bf16 when a megakernel path (single-device or TP) is live.
         if cache_dtype is None:
-            cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
+            cache_dtype = (jnp.bfloat16
+                           if self._fused_decode or self._tp_fused
+                           else jnp.float16)
         self.cache_dtype = cache_dtype
         if self._tp_fwd is not None:
             from ..parallel.tp import shard_params_tp

@@ -91,6 +91,7 @@ class BatchedEngine:
         staged_kv: bool = False,
         health_check: bool = True,
         watchdog_s: Optional[float] = None,
+        tp_fused_decode: bool = False,
     ):
         self.config = config
         self.B = max_batch
@@ -118,6 +119,7 @@ class BatchedEngine:
         # need mid-kernel psums), so mesh serving uses the per-op path.
         self._fwd = forward
         self._tp = False
+        self._tp_fused = False
         if mesh is not None and pack_q4:
             from ..parallel.mesh import MODEL_AXIS
             from ..parallel.tp import (make_tp_forward, pack_params_tp,
@@ -125,7 +127,14 @@ class BatchedEngine:
             tp = mesh.shape[MODEL_AXIS]
             if supports_tp(config, tp):
                 params = pack_params_tp(params, tp)
-                self._fwd = make_tp_forward(mesh)
+                # opt-in TP megakernel (VERDICT r3 #3): the lockstep decode
+                # steps (N == 1) route through the per-layer kernel halves
+                # + Megatron psums (ops/pallas_decode_tp.py); refill
+                # prefills keep the per-op sequence-parallel path. Needs a
+                # bf16 cache — forced below.
+                self._tp_fused = tp_fused_decode and not kv_quant
+                self._fwd = make_tp_forward(
+                    mesh, fused_decode=self._tp_fused)
                 self._tp = True
         elif pack_q4:
             from .engine import _pack_matmul_weights
@@ -171,7 +180,9 @@ class BatchedEngine:
         # hardware without this runtime's dispatch costs.
         self._staged_kv = bool(staged_kv) and self._fused_decode
         if cache_dtype is None:
-            cache_dtype = jnp.bfloat16 if self._fused_decode else jnp.float16
+            cache_dtype = (jnp.bfloat16
+                           if self._fused_decode or self._tp_fused
+                           else jnp.float16)
         self.cache_dtype = cache_dtype
         if self._tp:
             from ..parallel.tp import shard_params_tp

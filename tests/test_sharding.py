@@ -302,3 +302,102 @@ def test_tp_seq_parallel_falls_back_non_divisible(tp_params_q4):
         compute_dtype=jnp.float32, logits_mode="last",
         allow_pallas=False).as_text()
     assert "reduce_scatter" not in txt
+
+
+# ------------------------------------------------- TP decode megakernel
+
+@pytest.mark.parametrize("data,model", [(1, 2), (1, 4), (2, 4)])
+def test_tp_fused_decode_step_matches_per_op(tp_params_q4, data, model):
+    """The TP megakernel (per-layer kernel halves with Megatron psums
+    between — ops/pallas_decode_tp.py, interpret mode) produces the same
+    decode logits and cache rows as the per-op shard_map TP path on the
+    same mesh (VERDICT r3 #3 verification methodology)."""
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    mesh = make_mesh(data, model)
+    tpp = shard_params_tp(pack_params_tp(tp_params_q4, model), mesh)
+    per_op = make_tp_forward(mesh)
+    ids = np.random.RandomState(3).randint(3, 299, size=(2, 6)).astype(
+        np.int32)
+    cache0 = init_cache(TPCFG, batch=2, max_len=32, dtype=jnp.bfloat16)
+    # seed the cache through the per-op prefill (both paths start from it)
+    _, cache_pre = per_op(tpp, jnp.asarray(ids), cache0, jnp.int32(0),
+                          TPCFG, compute_dtype=jnp.bfloat16,
+                          logits_mode="last", allow_pallas=False,
+                          kv_window=32)
+    tok = jnp.asarray([[7], [12]], jnp.int32)
+    base, cache_b = per_op(tpp, tok, cache_pre, jnp.int32(6), TPCFG,
+                           compute_dtype=jnp.bfloat16, logits_mode="last",
+                           allow_pallas=False, kv_window=32)
+    try:
+        set_pallas_mode(True)   # CPU: kernels run in interpret mode
+        fused_fwd = make_tp_forward(mesh, fused_decode=True)
+        got, cache_f = fused_fwd(tpp, tok, cache_pre, jnp.int32(6), TPCFG,
+                                 compute_dtype=jnp.bfloat16,
+                                 logits_mode="last", allow_pallas=False,
+                                 kv_window=32)
+    finally:
+        set_pallas_mode("auto")
+    base, got = np.asarray(base, np.float32), np.asarray(got, np.float32)
+    assert (got.argmax(-1) == base.argmax(-1)).all()
+    np.testing.assert_allclose(got, base, rtol=5e-2, atol=0.35)
+    np.testing.assert_allclose(
+        np.asarray(cache_f.k[:, :, :7], np.float32),
+        np.asarray(cache_b.k[:, :, :7], np.float32), rtol=2e-2, atol=0.1)
+
+
+def test_tp_fused_serving_matches_per_op(tp_params_q4):
+    """BatchedEngine e2e on a mesh: lockstep serving through the TP
+    megakernel (tp_fused_decode=True) equals the per-op TP path
+    request-for-request, including a refill wave (refill prefills stay
+    per-op in both engines)."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    mesh = make_mesh(1, 4)
+
+    def reqs():
+        return [Request(prompt_ids=p, n_predict=4, request_id=i)
+                for i, p in enumerate([[2, 41, 7], [2, 19, 3, 8], [2, 5]])]
+
+    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+    plain = BatchedEngine(TPCFG, tp_params_q4, max_batch=2, chunk=2,
+                          compute_dtype=jnp.bfloat16, max_seq=32, mesh=mesh)
+    base = plain.serve(reqs(), gen)
+    try:
+        set_pallas_mode(True)   # CPU: kernels run in interpret mode
+        fused = BatchedEngine(TPCFG, tp_params_q4, max_batch=2, chunk=2,
+                              compute_dtype=jnp.bfloat16, max_seq=32,
+                              mesh=mesh, tp_fused_decode=True)
+        assert fused._tp_fused and fused.cache_dtype == jnp.bfloat16
+        got = fused.serve(reqs(), gen)
+    finally:
+        set_pallas_mode("auto")
+    for i in range(3):
+        assert got[i].ids == base[i].ids, i
+
+
+def test_tp_fused_engine_generate_matches(tp_params_q4):
+    """Engine e2e: greedy generation through the TP megakernel equals the
+    per-op TP path token-for-token on the same mesh."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+
+    gen = GenerationParams(n_predict=6, temp=0.0, stop_at_eos=False)
+    prompt = [2, 10, 25, 48]
+    mesh = make_mesh(1, 4)
+    base = Engine(TPCFG, tp_params_q4, compute_dtype=jnp.bfloat16,
+                  mesh=mesh).generate(prompt, gen).ids
+    try:
+        set_pallas_mode(True)   # CPU: kernels run in interpret mode
+        par = Engine(TPCFG, tp_params_q4, compute_dtype=jnp.bfloat16,
+                     mesh=mesh, tp_fused_decode=True)
+        assert par._tp_fused and par.cache_dtype == jnp.bfloat16
+        got = par.generate(prompt, gen).ids
+    finally:
+        set_pallas_mode("auto")
+    assert got == base
