@@ -313,6 +313,7 @@ def forward_fused_decode_greedy(
     kv_block: Optional[int] = None,
     per_slot_kv: bool = False,
     with_health: bool = False,
+    health_per_row: bool = False,
 ):
     """Greedy decode with the lm_head folded into the kernel chain.
 
@@ -329,6 +330,9 @@ def forward_fused_decode_greedy(
     the winning logit values are non-finite (a poisoned hidden state NaNs
     every vocab tile, so the kernel's max-value output carries the NaN out
     without materializing logits — runtime/health.py's lane for this path).
+    ``health_per_row`` returns the (B,) per-row finite bits instead, for
+    batched serving where only LIVE slots' health matters (free slots
+    compute garbage by design).
     """
     from ..ops.pallas_qmatmul import lm_head_argmax_pallas
 
@@ -341,7 +345,8 @@ def forward_fused_decode_greedy(
         interpret=interpret, with_max=with_health)
     if with_health:
         tok, mv = out
-        return tok, cache, jnp.isfinite(mv).all()
+        ok = jnp.isfinite(mv)
+        return tok, cache, (ok if health_per_row else ok.all())
     return out, cache
 
 

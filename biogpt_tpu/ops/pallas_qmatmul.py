@@ -332,26 +332,50 @@ def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
     scales = sc_ref[:].astype(jnp.float32)
     mins = mn_ref[:].astype(jnp.float32) if mn_ref is not None else None
 
-    block_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 1) // QK
-    block_row = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 0)
-    offblock = jnp.minimum(jnp.abs(block_of_k - block_row), 1)
-    mask = (1 - offblock).astype(jnp.bfloat16)
+    if M > 8:
+        # wide rows (batched greedy serving): dequant-then-dot — the
+        # per-row X' loop below costs M MXU passes per tile (built for
+        # B=1 decode), while one dequantized tile serves all M rows
+        # (same formulation/numerics as _kernel_wide)
+        chunk = min(d_in, _WIDE_CHUNK)
+        n_chunks = d_in // chunk
+        nb_c = chunk // QK
+        acc2 = None
+        for c in range(n_chunks):
+            b0 = c * nb_c
+            sexp = _expand_blocks(
+                sc_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
+            w = (lv[c * chunk:(c + 1) * chunk, :].astype(jnp.float32)
+                 - float(offset)) * sexp
+            if mn_ref is not None:
+                w = w + _expand_blocks(
+                    mn_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
+            part = jnp.dot(xn[:, c * chunk:(c + 1) * chunk],
+                           w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            acc2 = part if acc2 is None else acc2 + part
+        logits = acc2                                   # (M, T) f32
+    else:
+        block_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 1) // QK
+        block_row = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 0)
+        offblock = jnp.minimum(jnp.abs(block_of_k - block_row), 1)
+        mask = (1 - offblock).astype(jnp.bfloat16)
 
-    rows = []
-    for m in range(M):
-        xp = xn[m, :][None, :] * mask
-        partial = jnp.dot(xp, lv, preferred_element_type=jnp.float32)
-        if offset or mins is not None:
-            xsum = jnp.sum(xp.astype(jnp.float32), axis=1, keepdims=True)
-            if offset:
-                partial = partial - float(offset) * xsum
-            acc = partial * scales
-            if mins is not None:
-                acc = acc + xsum * mins
-        else:
-            acc = partial * scales
-        rows.append(jnp.sum(acc, axis=0, keepdims=True))
-    logits = jnp.concatenate(rows, axis=0)              # (M, T) f32
+        rows = []
+        for m in range(M):
+            xp = xn[m, :][None, :] * mask
+            partial = jnp.dot(xp, lv, preferred_element_type=jnp.float32)
+            if offset or mins is not None:
+                xsum = jnp.sum(xp.astype(jnp.float32), axis=1, keepdims=True)
+                if offset:
+                    partial = partial - float(offset) * xsum
+                acc = partial * scales
+                if mins is not None:
+                    acc = acc + xsum * mins
+            else:
+                acc = partial * scales
+            rows.append(jnp.sum(acc, axis=0, keepdims=True))
+        logits = jnp.concatenate(rows, axis=0)          # (M, T) f32
 
     col = j * T + jax.lax.broadcasted_iota(jnp.int32, (M, T), 1)
     # mask the lane-padding columns (zero scales would win over all-negative

@@ -200,6 +200,20 @@ class BatchedEngine:
         self._interpret = jax.default_backend() != "tpu"
         self.allow_pallas = (pack_q4 and not self._interpret
                              and (mesh is None or self._tp))
+        # Greedy tail fusion for the lockstep step (the serving analog of
+        # Engine._fused_greedy): when every bound request is greedy, final
+        # LN + lm_head + argmax run as ONE kernel that never materializes
+        # the (B, n_vocab) logits — at B=32 that removes a ~5 MB f32
+        # logits round-trip plus XLA's 42k-wide argmax and isfinite
+        # reduce from every step. Health rides the kernel's per-row
+        # winning-logit values instead (NaN'd hidden states NaN them).
+        from ..ops.pallas_qmatmul import supports as _psup
+        from ..ops.pallas_qmatmul import supports_wide as _psup_wide
+        from ..quant.layouts import QuantizedTensor as _QT
+        lm = params.get("lm_head") if isinstance(params, dict) else None
+        self._fused_greedy = (
+            self._fused_decode and isinstance(lm, _QT) and lm.packed
+            and (_psup(lm, self.B) or _psup_wide(lm, self.B)))
 
         def refill_commit(params, ids, cache, last, src_row, mask, rng,
                           toks, lengths, first_buf, temps, top_ps, top_ks,
@@ -300,6 +314,22 @@ class BatchedEngine:
             per step that rides home with the token drain, so numeric
             failure detection costs no extra host<->device traffic).
             """
+            if use_fused and all_greedy and self._fused_greedy:
+                # greedy tail fusion: token ids come straight out of the
+                # LN+lm_head+argmax kernel; the (B, V) logits never exist
+                from ..models.biogpt import forward_fused_decode_greedy
+                nxt, cache, ok_rows = forward_fused_decode_greedy(
+                    params, toks, cache, lengths, self.config,
+                    kv_window=kv_window, interpret=self._interpret,
+                    per_slot_kv=self._paged_kv, with_health=True,
+                    health_per_row=True)
+                health = jnp.logical_and(health,
+                                         jnp.all(ok_rows | ~live))
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, nxt[None, :],
+                    (out_ix, jnp.zeros((), jnp.int32)))
+                return (nxt[:, None], cache, lengths + 1, rng, out_buf,
+                        out_ix + 1, health)
             if use_fused:
                 logits, cache = forward_fused_decode(
                     params, toks, cache, lengths, self.config,

@@ -261,3 +261,39 @@ def test_wide_kernel_rejects_chunk_remainder_d_in():
     got = np.asarray(matmul(jnp.asarray(x), qt))
     expect = x @ np.asarray(dequantize(base))
     np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("qtype", [codecs.GGML_TYPE_Q4_0,
+                                   codecs.GGML_TYPE_Q4_1])
+@pytest.mark.parametrize("m", [12, 32])
+def test_lm_head_argmax_wide_matches_oracle(qtype, m):
+    """The wide-M (8 < M <= 32) argmax path — dequant-then-dot instead of
+    per-row X' passes — vs the wide matmul oracle's argmax, including the
+    pad-column mask. This is batched greedy serving's per-step epilogue."""
+    import jax.numpy as jnp
+
+    from biogpt_tpu.ops.pallas_qmatmul import (lm_head_argmax_pallas,
+                                               qmatmul_pallas_wide)
+
+    qt = pack_nibble_planes(_qt(qtype, d_out=512, d_in=128, seed=21))
+    rng = np.random.RandomState(22)
+    x = rng.randn(m, 128).astype(np.float32)
+    lnw = rng.randn(128).astype(np.float32)
+    lnb = (rng.randn(128) * 0.1).astype(np.float32)
+    eps = 1e-5
+
+    mu = x.mean(1, keepdims=True)
+    var = x.var(1, keepdims=True)
+    xn = ((x - mu) / np.sqrt(var + eps) * lnw + lnb).astype(np.float32)
+    # same numerics as the kernel: bf16 activations into the wide matmul
+    logits = np.asarray(qmatmul_pallas_wide(
+        jnp.asarray(xn, jnp.bfloat16), qt, interpret=True))
+
+    n_valid = 512 - 37
+    ref = logits[:, :n_valid].argmax(-1)
+    got, mv = lm_head_argmax_pallas(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb), qt,
+        n_valid=n_valid, ln_eps=eps, interpret=True, with_max=True)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    np.testing.assert_allclose(np.asarray(mv),
+                               logits[:, :n_valid].max(-1), rtol=1e-6)
