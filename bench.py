@@ -362,7 +362,10 @@ def bench_family(config, use_pallas: bool) -> None:
                           sampled=False)
     samples = {q: [] for q in families}
     repeats = int(os.environ.get("BENCH_FAMILY_REPEATS", "3"))
-    for r in range(repeats):
+    # round -1 is a throwaway: the first interleaved pass still absorbs
+    # per-executable deep-queue warmup, which poisoned round-0 marginals
+    # (negative samples) in the first sweep
+    for r in range(-1, repeats):
         for q in families:   # interleaved: each round sees the same chip
             eng = engines[q]
             t1 = time.perf_counter()
@@ -371,6 +374,8 @@ def bench_family(config, use_pallas: bool) -> None:
             t2 = time.perf_counter()
             rl = eng.generate(PROMPT, gen_l)
             t_long = time.perf_counter() - t2
+            if r < 0:
+                continue
             n = len(rl.new_ids) - len(rs.new_ids)
             samples[q].append((t_long - t_short) / n)
             log(f"family[{r}] {q}: {samples[q][-1]*1e3:.3f} ms/token")
