@@ -29,6 +29,10 @@ Env:
                                number next to the uniform-greedy one)
   BENCH_PREFILL=0              skip the prefill metric
   BENCH_DECODE=0               skip decode+prefill (targeted serving runs)
+  BENCH_STAGED=1               chunk-local KV staging in the serving
+                               benches (one slot-agnostic staging write
+                               per step + per-chunk commit instead of 2*B
+                               per-slot cache writes)
   BENCH_PAGED=1                per-slot ("paged") KV reads in the mixed
                                serving bench — each slot streams only its
                                own live blocks instead of the batch-wide
@@ -192,7 +196,8 @@ def bench_serving(params, config, qname: str, single_stream_tok_s: float,
     B, n_pred = SERVE_SLOTS, SERVE_PRED
     be = BatchedEngine(config, params, max_batch=B,
                        compute_dtype=jnp.bfloat16, max_seq=SERVE_SEQ,
-                       chunk=16, mesh=mesh, kv_quant=kv_quant)
+                       chunk=16, mesh=mesh, kv_quant=kv_quant,
+                       staged_kv=os.environ.get("BENCH_STAGED", "0") == "1")
     rng = np.random.default_rng(0)
     vmax = config.n_vocab - 2
 
@@ -275,7 +280,8 @@ def bench_serving_mixed(params, config, qname: str, mesh=None,
     be = BatchedEngine(config, params, max_batch=B,
                        compute_dtype=jnp.bfloat16, max_seq=SERVE_SEQ,
                        chunk=16, mesh=mesh, kv_quant=kv_quant,
-                       paged_kv=paged_kv)
+                       paged_kv=paged_kv,
+                       staged_kv=os.environ.get("BENCH_STAGED", "0") == "1")
     vmax = min(40000, config.n_vocab - 2)
     # prompt classes (full-size): short chat-like, medium, long-document —
     # three bucket families so the refill-program set stays bounded while

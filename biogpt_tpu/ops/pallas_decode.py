@@ -478,18 +478,25 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
         def _finish_layer():
             if staged:
                 # fold the chunk's staged rows (steps [0, stepi) of this
-                # chunk, written by the caller after each step): same
-                # per-slot dot + online-softmax update as a cache block
+                # chunk, written by the caller after each step). Round 4:
+                # ONE flattened block-diagonal dot instead of a per-slot
+                # loop — the (BH, B*C) score matrix masks cross-slot
+                # entries to a no-op, so 2 MXU dots replace 2*B small
+                # ones per layer (the per-slot loop's 768 dot issues per
+                # step were why round 3 measured staging neutral)
                 C = r["kstage"].shape[-2]
                 stepi = r["stepi"][0, 0]
-                scores_s = jnp.concatenate(
-                    [jax.lax.dot_general(
-                        qbd[b * H:(b + 1) * H, :],
-                        r["kstage"][0, b].astype(jnp.bfloat16), _NT,
-                        preferred_element_type=jnp.float32)
-                     for b in range(B)], axis=0)             # (BH, C)
-                jdx = jax.lax.broadcasted_iota(jnp.int32, (BH, C), 1)
-                valid_s = jdx < stepi
+                ks_flat = r["kstage"][0].reshape(B * C, D).astype(
+                    jnp.bfloat16)
+                vs_flat = r["vstage"][0].reshape(B * C, D).astype(
+                    jnp.bfloat16)
+                scores_s = jax.lax.dot_general(
+                    qbd[:], ks_flat, _NT,
+                    preferred_element_type=jnp.float32)      # (BH, B*C)
+                col = jax.lax.broadcasted_iota(jnp.int32, (BH, B * C), 1)
+                row_slot = jax.lax.broadcasted_iota(
+                    jnp.int32, (BH, B * C), 0) // H
+                valid_s = (col // C == row_slot) & (col % C < stepi)
                 masked_s = jnp.where(valid_s, scores_s, -1e30)
                 m_prev_s = msc[:]
                 m_new_s = jnp.maximum(
@@ -498,11 +505,9 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
                 alpha_s = jnp.exp(m_prev_s - m_new_s)
                 lsc[:] = lsc[:] * alpha_s + jnp.sum(p_s, axis=1,
                                                     keepdims=True)
-                accsc[:] = accsc[:] * alpha_s + jnp.concatenate(
-                    [jnp.dot(p_s[b * H:(b + 1) * H, :].astype(jnp.bfloat16),
-                             r["vstage"][0, b].astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-                     for b in range(B)], axis=0)
+                accsc[:] = accsc[:] * alpha_s + jnp.dot(
+                    p_s.astype(jnp.bfloat16), vs_flat,
+                    preferred_element_type=jnp.float32)
                 msc[:] = m_new_s
 
             kcur_rep = jnp.dot(rep, kcur[:],

@@ -24,17 +24,24 @@ def greedy(logits: jax.Array) -> jax.Array:
 
 
 def topk_2stage(x: jax.Array, k: int, groups: int = 16):
-    """EXACT drop-in for ``jax.lax.top_k`` over a wide minor axis.
+    """EXACT top-k over a wide minor axis (drop-in for ``jax.lax.top_k``).
 
-    A single top-k over the 42k vocab measures ~0.8 ms at (32, V) on this
-    chip; splitting the axis into ``groups``, taking each group's local
-    top-k (any global top-k element is necessarily in its own group's
-    top-k), and re-top-k'ing the G·k candidates cuts that ~35%. Exact
-    including tie-breaking: groups cover ascending index ranges and
-    lax.top_k is index-stable, so equal values still resolve to the
-    lowest global index.
+    Round-4 re-measurement (tools/bench/probe_sampler32.py, fair
+    consumers): XLA's DIRECT top_k at (32, 42384) k=64 runs 0.36 ms/step
+    on this chip — 2.7x FASTER than this function's grouped two-stage
+    formulation (0.97 at groups=16, 0.76 at 64), inverting the round-3
+    finding the grouping was built on (that comparison was confounded —
+    its direct-top_k consumer let XLA simplify the op). Direct is now the
+    default; the grouped path stays behind ``BIOGPT_TOPK=grouped`` for
+    re-measurement on other toolchains. Both are exact including
+    tie-breaking (groups cover ascending index ranges and lax.top_k is
+    index-stable, so equal values resolve to the lowest global index).
     """
+    import os
+
     B, V = x.shape
+    if os.environ.get("BIOGPT_TOPK") != "grouped":
+        return jax.lax.top_k(x, k)
     if V < groups * k * 4:       # small vocabs: grouping can't pay
         return jax.lax.top_k(x, k)
     # lane-align each group's width (a 2649-wide minor axis forces

@@ -77,11 +77,14 @@ def test_low_temp_concentrates():
     assert toks == {best}
 
 
-def test_topk_2stage_exact_vs_lax():
+def test_topk_2stage_exact_vs_lax(monkeypatch):
     """Grouped two-stage top-k == lax.top_k exactly, including the
-    index-stable tie-breaking, at wide (vocab-like) and padded widths."""
+    index-stable tie-breaking, at wide (vocab-like) and padded widths.
+    (Direct lax.top_k is the default since round 4 — this forces the
+    BIOGPT_TOPK=grouped path so it stays correct for re-measurement.)"""
     from biogpt_tpu.runtime.sampling import topk_2stage
 
+    monkeypatch.setenv("BIOGPT_TOPK", "grouped")
     rng = np.random.RandomState(0)
     for B, V, k in [(4, 42384, 64), (2, 8192, 40), (3, 42384, 1),
                     (1, 5000, 8)]:

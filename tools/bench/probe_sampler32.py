@@ -63,15 +63,29 @@ def bench(name, consume):
     return per
 
 
-bench("producer only (argmax)", lambda lg: jnp.argmax(lg, -1).astype(jnp.int32))
-bench("lax.top_k direct k=64", lambda lg: jax.lax.top_k(lg, K)[1][:, 0])
+def use_all(pair):
+    # consume every value AND index so XLA cannot simplify the top-k to
+    # an argmax (the first probe version sliced [:, 0] and measured 6 us:
+    # the simplifier had rewritten it)
+    v, i = pair
+    return v.sum(-1) + i.astype(jnp.float32).sum(-1) * 1e-9
+
+
+bench("producer only (argmax)",
+      lambda lg: jnp.argmax(lg, -1).astype(jnp.int32))
+bench("lax.top_k direct k=64",
+      lambda lg: use_all(jax.lax.top_k(lg, K)))
 for g in (8, 16, 32, 64):
     bench(f"topk_2stage groups={g}",
-          lambda lg, g=g: topk_2stage(lg, K, groups=g)[1][:, 0])
+          lambda lg, g=g: use_all(topk_2stage(lg, K, groups=g)))
 bench("topk_2stage k=40 g=16",
-      lambda lg: topk_2stage(lg, 40, groups=16)[1][:, 0])
+      lambda lg: use_all(topk_2stage(lg, 40, groups=16)))
 bench("full sample_per_request",
       lambda lg: sample_per_request(key, lg, top_ks, top_ps, temps,
                                     max_top_k=K))
-bench("bf16 stage (cast+top_k)",
-      lambda lg: jax.lax.top_k(lg.astype(jnp.bfloat16), K)[1][:, 0])
+bench("topk32 (max_top_k=32)",
+      lambda lg: sample_per_request(key, lg, jnp.minimum(top_ks, 32),
+                                    top_ps, temps, max_top_k=32))
+bench("bf16 2stage g=32",
+      lambda lg: use_all(topk_2stage(lg.astype(jnp.bfloat16), K,
+                                     groups=32)))
