@@ -452,15 +452,28 @@ def _fused_decode_hidden(
                 vs_new, vsc[:, b].reshape(L, 1, 1, 1), sidx)
         cache = QuantKVCache(k=k_new, v=v_new, ks=ks_new, vs=vs_new)
     else:
-        k_new, v_new = cache.k, cache.v
-        for b in range(B):
-            idx = (zero, jnp.int32(b), past_vec[b], zero)
-            k_new = jax.lax.dynamic_update_slice(
-                k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(k_new.dtype),
-                idx)
-            v_new = jax.lax.dynamic_update_slice(
-                v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(v_new.dtype),
-                idx)
+        if B > 1 and D % 128 == 0:
+            # batched: ONE aligned-RMW commit kernel instead of 2·B
+            # serially-chained dynamic_update_slices (0.58 ms/step at
+            # B=32 on this runtime — ops.pallas_decode.kv_commit_pallas)
+            from ..ops.pallas_decode import kv_commit_pallas
+            k_new, v_new = kv_commit_pallas(
+                cache.k, cache.v,
+                jnp.transpose(k_rows, (1, 0, 2)),
+                jnp.transpose(v_rows, (1, 0, 2)),
+                past_vec, interpret=interpret)
+        else:
+            k_new, v_new = cache.k, cache.v
+            for b in range(B):
+                idx = (zero, jnp.int32(b), past_vec[b], zero)
+                k_new = jax.lax.dynamic_update_slice(
+                    k_new,
+                    k_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(
+                        k_new.dtype), idx)
+                v_new = jax.lax.dynamic_update_slice(
+                    v_new,
+                    v_rows[:, b:b + 1].reshape(L, 1, 1, D).astype(
+                        v_new.dtype), idx)
         cache = KVCache(k=k_new, v=v_new)
 
     return x_out, cache

@@ -728,6 +728,91 @@ def _make_kernel_paged(names, *, B, D, H, KVB, eps, offset, packed,
     return kernel
 
 
+def kv_commit_pallas(k_cache, v_cache, k_rows_t, v_rows_t, past,
+                     *, interpret: bool = False):
+    """Commit each slot's new K/V rows at its own cache position — ONE
+    kernel instead of 2·B dynamic_update_slices.
+
+    The 2·B per-slot DUS ops measured 0.58 ms/step at B=32 on this
+    runtime (64 serially-chained op launches, bench_step32.py); a single
+    batched XLA scatter measured 10× worse, and a direct width-1 row DMA
+    is unlowerable (ANY-space cache memrefs carry (8,128) tiling on
+    (S, D) — probe_inkernel_writes.py). This kernel threads the needle
+    with aligned read-modify-write: per (tensor, slot) it DMAs the
+    8-row-aligned (L, 8, D) cache tile containing the slot's position
+    (``pl.multiple_of`` proves the dynamic offset's alignment), folds the
+    new row in with a vector select, and DMAs the tile back — ~48 MB of
+    RMW traffic at B=32 (~60 µs at HBM bandwidth) plus 4·B DMA issues,
+    all inside one launch. Caches are donated (input/output aliased).
+
+    ``k_rows_t``/``v_rows_t`` arrive SLOT-MAJOR (B, L, D): per-slot
+    extraction from the kernel-native (L, B, D) would slice the tiled B
+    dim (Mosaic rejects); the caller's one cheap transpose keeps every
+    in-kernel slice a dim-0 collapse.
+    """
+    L, B, S, D = k_cache.shape
+    assert S % 8 == 0
+
+    def kernel(past_ref, krt, vrt, kc_in, vc_in, kc, vc, kbuf, vbuf, sems):
+        del kc_in, vc_in   # aliased to kc/vc; all access goes via outputs
+        reads = []
+        for b in range(B):
+            t_off = pl.multiple_of((past_ref[0, b] // 8) * 8, 8)
+            ck = pltpu.make_async_copy(
+                kc.at[:, b, pl.ds(t_off, 8), :], kbuf.at[b], sems.at[0, b])
+            cv = pltpu.make_async_copy(
+                vc.at[:, b, pl.ds(t_off, 8), :], vbuf.at[b], sems.at[1, b])
+            ck.start()
+            cv.start()
+            reads.append((t_off, ck, cv))
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (L, 8, D), 1)
+        writes = []
+        for b in range(B):
+            t_off, ck, cv = reads[b]
+            ck.wait()
+            cv.wait()
+            r = past_ref[0, b] - t_off
+            kbuf[b] = jnp.where(row_ix == r,
+                                krt[b][:, None, :].astype(kbuf.dtype),
+                                kbuf[b])
+            vbuf[b] = jnp.where(row_ix == r,
+                                vrt[b][:, None, :].astype(vbuf.dtype),
+                                vbuf[b])
+            wk = pltpu.make_async_copy(
+                kbuf.at[b], kc.at[:, b, pl.ds(t_off, 8), :], sems.at[0, b])
+            wv = pltpu.make_async_copy(
+                vbuf.at[b], vc.at[:, b, pl.ds(t_off, 8), :], sems.at[1, b])
+            wk.start()
+            wv.start()
+            writes.append((wk, wv))
+        for wk, wv in writes:
+            wk.wait()
+            wv.wait()
+
+    past_row = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,)).reshape(1, B)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    kc, vc = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec((1, B), memory_space=pltpu.SMEM),
+                  pl.BlockSpec((B, L, D), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, L, D), memory_space=pltpu.VMEM),
+                  any_spec, any_spec],
+        out_specs=[any_spec, any_spec],
+        out_shape=[jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)],
+        input_output_aliases={3: 0, 4: 1},
+        scratch_shapes=[pltpu.VMEM((B, L, 8, D), k_cache.dtype),
+                        pltpu.VMEM((B, L, 8, D), v_cache.dtype),
+                        pltpu.SemaphoreType.DMA((2, B))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(past_row, k_rows_t.astype(k_cache.dtype),
+      v_rows_t.astype(v_cache.dtype), k_cache, v_cache)
+    return kc, vc
+
+
 # Per-KV-tensor VMEM budget for one buffering level of the lockstep
 # window block (Pallas double-buffers it, and k and v each hold one).
 _KV_WINDOW_BYTES = 8 * 1024 * 1024

@@ -359,16 +359,25 @@ def _fused_decode_body(params, tokens, cache, past, config: BioGptConfig,
 
     L = cache.k.shape[0]
     Dloc = cache.k.shape[-1]
-    zero = jnp.zeros((), jnp.int32)
-    k_new, v_new = cache.k, cache.v
-    for b in range(B):
-        idx = (zero, jnp.int32(b), past_vec[b], zero)
-        k_new = jax.lax.dynamic_update_slice(
-            k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
-                k_new.dtype), idx)
-        v_new = jax.lax.dynamic_update_slice(
-            v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
-                v_new.dtype), idx)
+    if B > 1 and Dloc % 128 == 0:
+        # same aligned-RMW commit kernel as the single-device fused path
+        # (2·B dynamic_update_slices are serially-chained op launches)
+        from ..ops.pallas_decode import kv_commit_pallas
+        k_new, v_new = kv_commit_pallas(
+            cache.k, cache.v, jnp.transpose(k_rows, (1, 0, 2)),
+            jnp.transpose(v_rows, (1, 0, 2)), past_vec,
+            interpret=interpret)
+    else:
+        zero = jnp.zeros((), jnp.int32)
+        k_new, v_new = cache.k, cache.v
+        for b in range(B):
+            idx = (zero, jnp.int32(b), past_vec[b], zero)
+            k_new = jax.lax.dynamic_update_slice(
+                k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
+                    k_new.dtype), idx)
+            v_new = jax.lax.dynamic_update_slice(
+                v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
+                    v_new.dtype), idx)
     cache = KVCache(k=k_new, v=v_new)
 
     x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],

@@ -444,3 +444,38 @@ def test_supports_layers_rejects_chunk_remainder_d_in():
     packed = _pack_matmul_weights(params)
     assert not supports_layers(packed["layers"], jnp.bfloat16, batch=1,
                                n_new=1)
+
+
+@pytest.mark.parametrize("B", [2, 8, 32])
+def test_kv_commit_kernel_matches_dus(B):
+    """The aligned-RMW cache-commit kernel == per-slot dynamic_update_slice,
+    at unaligned positions incl. the edges (0 and S-1), and it must not
+    disturb any other cache row."""
+    from biogpt_tpu.ops.pallas_decode import kv_commit_pallas
+
+    L, S, D = 3, 64, 256
+    rng = np.random.RandomState(B)
+    k = jnp.asarray(rng.randn(L, B, S, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(L, B, S, D), jnp.bfloat16)
+    kr = jnp.asarray(rng.randn(L, B, D), jnp.float32)
+    vr = jnp.asarray(rng.randn(L, B, D), jnp.float32)
+    past = np.array([(7 * i + 3) % S for i in range(B)], np.int32)
+    past[0] = 0
+    if B > 1:
+        past[1] = S - 1
+    past = jnp.asarray(past)
+
+    k_ref, v_ref = np.asarray(k, np.float32), np.asarray(v, np.float32)
+    k_ref = k_ref.copy()
+    v_ref = v_ref.copy()
+    for b in range(B):
+        k_ref[:, b, int(past[b])] = np.asarray(
+            kr[:, b].astype(jnp.bfloat16), np.float32)
+        v_ref[:, b, int(past[b])] = np.asarray(
+            vr[:, b].astype(jnp.bfloat16), np.float32)
+
+    k2, v2 = kv_commit_pallas(
+        k, v, jnp.transpose(kr, (1, 0, 2)), jnp.transpose(vr, (1, 0, 2)),
+        past, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2, np.float32), k_ref)
+    np.testing.assert_array_equal(np.asarray(v2, np.float32), v_ref)

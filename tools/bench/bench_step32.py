@@ -185,3 +185,50 @@ f = bench("kernel + scatter write", scan_kernel_scatter,
           (x0, cache.k, cache.v, past))
 print(f"scatter vs per-slot DUS: {1e3*(f-a):+.3f} vs {1e3*(b-a):+.3f} "
       f"ms/step", flush=True)
+
+
+def scan_sampled_grouped(toks, cache, past, rng, temps, top_ps, top_ks):
+    # sample_per_request is itself jitted and its cached trace would
+    # otherwise ignore the env flip
+    sample_per_request.clear_cache()
+    _os.environ["BIOGPT_TOPK"] = "grouped"
+    try:
+        return scan_sampled(toks, cache, past, rng, temps, top_ps, top_ks)
+    finally:
+        _os.environ.pop("BIOGPT_TOPK", None)
+        sample_per_request.clear_cache()
+
+
+if _os.environ.get("STEP_SAMPLER_AB", "0") == "1":
+    # same-process A/B: the cross-process comparison of the two top-k
+    # formulations disagreed with the standalone probe — chip drift or
+    # context effects; this pins it
+    g1 = bench("sampled A/B: direct", scan_sampled,
+               (toks, cache, past, rng, temps, top_ps, top_ks))
+    g2 = bench("sampled A/B: grouped", scan_sampled_grouped,
+               (toks, cache, past, rng, temps, top_ps, top_ks))
+    g3 = bench("sampled A/B: direct(2)", scan_sampled,
+               (toks, cache, past, rng, temps, top_ps, top_ks))
+    print(f"direct {1e3*g1:.3f}/{1e3*g3:.3f} vs grouped {1e3*g2:.3f} "
+          f"ms/step (same process)", flush=True)
+
+
+def scan_kernel_commit(x0, k, v, past):
+    from biogpt_tpu.ops.pallas_decode import kv_commit_pallas
+
+    def body(carry, _):
+        x, k, v, past = carry
+        xo, kr, vr = decode_step_fused(x, layers, k, v, past,
+                                       n_head=config.n_head, window=W)
+        k, v = kv_commit_pallas(k, v, jnp.transpose(kr, (1, 0, 2)),
+                                jnp.transpose(vr, (1, 0, 2)), past)
+        return (xo, k, v, past + 1), None
+    (x, k, v, p), _ = jax.lax.scan(body, (x0, k, v, past), None,
+                                   length=STEPS)
+    return x, k, v
+
+
+g = bench("kernel + commit kernel", scan_kernel_commit,
+          (x0, cache.k, cache.v, past))
+print(f"commit kernel vs DUS: {1e3*(g-a):+.3f} vs {1e3*(b-a):+.3f} ms/step",
+      flush=True)
