@@ -439,17 +439,29 @@ def _fused_decode_hidden(
         kq, ksc = quantize_rows(k_rows)      # (L, B, D) -> int8 + (L, B)
         vq, vsc = quantize_rows(v_rows)
         k_new, v_new, ks_new, vs_new = cache
-        for b in range(B):
-            idx = (zero, jnp.int32(b), past_vec[b], zero)
-            sidx = (zero, jnp.int32(b), zero, past_vec[b])
-            k_new = jax.lax.dynamic_update_slice(
-                k_new, kq[:, b].reshape(L, 1, 1, D), idx)
-            v_new = jax.lax.dynamic_update_slice(
-                v_new, vq[:, b].reshape(L, 1, 1, D), idx)
-            ks_new = jax.lax.dynamic_update_slice(
-                ks_new, ksc[:, b].reshape(L, 1, 1, 1), sidx)
-            vs_new = jax.lax.dynamic_update_slice(
-                vs_new, vsc[:, b].reshape(L, 1, 1, 1), sidx)
+        if B > 1 and D % 128 == 0 and S % 128 == 0:
+            # batched int8: ONE aligned-RMW commit kernel for levels AND
+            # scale planes instead of 4·B serially-chained
+            # dynamic_update_slices (ops/pallas_decode.kv_commit_quant_pallas)
+            from ..ops.pallas_decode import kv_commit_quant_pallas
+            k_new, v_new, ks_new, vs_new = kv_commit_quant_pallas(
+                k_new, v_new, ks_new, vs_new,
+                jnp.transpose(kq, (1, 0, 2)), jnp.transpose(vq, (1, 0, 2)),
+                jnp.transpose(ksc, (1, 0))[..., None],
+                jnp.transpose(vsc, (1, 0))[..., None],
+                past_vec, interpret=interpret)
+        else:
+            for b in range(B):
+                idx = (zero, jnp.int32(b), past_vec[b], zero)
+                sidx = (zero, jnp.int32(b), zero, past_vec[b])
+                k_new = jax.lax.dynamic_update_slice(
+                    k_new, kq[:, b].reshape(L, 1, 1, D), idx)
+                v_new = jax.lax.dynamic_update_slice(
+                    v_new, vq[:, b].reshape(L, 1, 1, D), idx)
+                ks_new = jax.lax.dynamic_update_slice(
+                    ks_new, ksc[:, b].reshape(L, 1, 1, 1), sidx)
+                vs_new = jax.lax.dynamic_update_slice(
+                    vs_new, vsc[:, b].reshape(L, 1, 1, 1), sidx)
         cache = QuantKVCache(k=k_new, v=v_new, ks=ks_new, vs=vs_new)
     else:
         if B > 1 and D % 128 == 0:

@@ -813,6 +813,119 @@ def kv_commit_pallas(k_cache, v_cache, k_rows_t, v_rows_t, past,
     return kc, vc
 
 
+def kv_commit_quant_pallas(k_cache, v_cache, ks, vs,
+                           kq_t, vq_t, ksc_t, vsc_t, past,
+                           *, interpret: bool = False):
+    """int8-KV variant of :func:`kv_commit_pallas`: commit each slot's new
+    quantized K/V rows AND their per-row dequant scales in ONE kernel.
+
+    The int8 cache path otherwise pays 4·B serially-chained
+    dynamic_update_slices per step (two level rows + two scale scalars per
+    slot — 128 op launches at B=32, ~2× the bf16 path's measured
+    0.58 ms/step). Levels RMW exactly like the bf16 kernel (8-row-aligned
+    (L, 8, D) tiles, int8 select widened through i32 — Mosaic has no i8
+    select on this toolchain). Scales live in (L, B, 1, S) lane-major
+    planes, so each slot's scalar lands via a 128-lane-aligned (L, 1, 128)
+    tile RMW (``pl.multiple_of`` proves both alignments). All four cache
+    arrays are donated (input/output aliased).
+
+    Rows arrive SLOT-MAJOR: ``kq_t``/``vq_t`` (B, L, D) int8,
+    ``ksc_t``/``vsc_t`` (B, L, 1) f32 — same reasoning as the bf16 kernel
+    (per-slot extraction must be a dim-0 collapse).
+    """
+    L, B, S, D = k_cache.shape
+    assert S % 128 == 0 and D % 128 == 0
+
+    def kernel(past_ref, krt, vrt, kst, vst, kc_in, vc_in, ks_in, vs_in,
+               kc, vc, ksc, vsc, kbuf, vbuf, ksbuf, vsbuf, sems):
+        del kc_in, vc_in, ks_in, vs_in   # aliased to the outputs
+        reads = []
+        for b in range(B):
+            t_off = pl.multiple_of((past_ref[0, b] // 8) * 8, 8)
+            s_off = pl.multiple_of((past_ref[0, b] // 128) * 128, 128)
+            cks = [
+                pltpu.make_async_copy(kc.at[:, b, pl.ds(t_off, 8), :],
+                                      kbuf.at[b], sems.at[0, b]),
+                pltpu.make_async_copy(vc.at[:, b, pl.ds(t_off, 8), :],
+                                      vbuf.at[b], sems.at[1, b]),
+                pltpu.make_async_copy(ksc.at[:, b, :, pl.ds(s_off, 128)],
+                                      ksbuf.at[b], sems.at[2, b]),
+                pltpu.make_async_copy(vsc.at[:, b, :, pl.ds(s_off, 128)],
+                                      vsbuf.at[b], sems.at[3, b]),
+            ]
+            for c in cks:
+                c.start()
+            reads.append((t_off, s_off, cks))
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (L, 8, D), 1)
+        lane_ix = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 128), 2)
+        writes = []
+        for b in range(B):
+            t_off, s_off, cks = reads[b]
+            for c in cks:
+                c.wait()
+            r = past_ref[0, b] - t_off
+            rl = past_ref[0, b] - s_off
+            # i8 select is unsupported on this Mosaic: widen through i32
+            kbuf[b] = jnp.where(
+                row_ix == r, krt[b][:, None, :].astype(jnp.int32),
+                kbuf[b].astype(jnp.int32)).astype(jnp.int8)
+            vbuf[b] = jnp.where(
+                row_ix == r, vrt[b][:, None, :].astype(jnp.int32),
+                vbuf[b].astype(jnp.int32)).astype(jnp.int8)
+            ksbuf[b] = jnp.where(lane_ix == rl, kst[b][:, :, None],
+                                 ksbuf[b])
+            vsbuf[b] = jnp.where(lane_ix == rl, vst[b][:, :, None],
+                                 vsbuf[b])
+            wks = [
+                pltpu.make_async_copy(kbuf.at[b],
+                                      kc.at[:, b, pl.ds(t_off, 8), :],
+                                      sems.at[0, b]),
+                pltpu.make_async_copy(vbuf.at[b],
+                                      vc.at[:, b, pl.ds(t_off, 8), :],
+                                      sems.at[1, b]),
+                pltpu.make_async_copy(ksbuf.at[b],
+                                      ksc.at[:, b, :, pl.ds(s_off, 128)],
+                                      sems.at[2, b]),
+                pltpu.make_async_copy(vsbuf.at[b],
+                                      vsc.at[:, b, :, pl.ds(s_off, 128)],
+                                      sems.at[3, b]),
+            ]
+            for w in wks:
+                w.start()
+            writes.append(wks)
+        for wks in writes:
+            for w in wks:
+                w.wait()
+
+    past_row = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,)).reshape(1, B)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    kc, vc, ksc, vsc = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec((1, B), memory_space=pltpu.SMEM),
+                  pl.BlockSpec((B, L, D), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, L, D), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, L, 1), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, L, 1), memory_space=pltpu.VMEM),
+                  any_spec, any_spec, any_spec, any_spec],
+        out_specs=[any_spec, any_spec, any_spec, any_spec],
+        out_shape=[jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+                   jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+                   jax.ShapeDtypeStruct(vs.shape, vs.dtype)],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        scratch_shapes=[pltpu.VMEM((B, L, 8, D), k_cache.dtype),
+                        pltpu.VMEM((B, L, 8, D), v_cache.dtype),
+                        pltpu.VMEM((B, L, 1, 128), ks.dtype),
+                        pltpu.VMEM((B, L, 1, 128), vs.dtype),
+                        pltpu.SemaphoreType.DMA((4, B))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(past_row, kq_t, vq_t, ksc_t, vsc_t, k_cache, v_cache, ks, vs)
+    return kc, vc, ksc, vsc
+
+
 # Per-KV-tensor VMEM budget for one buffering level of the lockstep
 # window block (Pallas double-buffers it, and k and v each hold one).
 _KV_WINDOW_BYTES = 8 * 1024 * 1024

@@ -479,3 +479,49 @@ def test_kv_commit_kernel_matches_dus(B):
         past, interpret=True)
     np.testing.assert_array_equal(np.asarray(k2, np.float32), k_ref)
     np.testing.assert_array_equal(np.asarray(v2, np.float32), v_ref)
+
+
+@pytest.mark.parametrize("B", [2, 8, 32])
+def test_kv_commit_quant_kernel_matches_dus(B):
+    """The int8 aligned-RMW commit kernel == the per-slot DUS path for
+    levels AND scale planes, at unaligned positions incl. edges (0, S-1),
+    without disturbing any other row/lane."""
+    from biogpt_tpu.ops.pallas_decode import kv_commit_quant_pallas
+
+    L, S, D = 3, 256, 256
+    rng = np.random.RandomState(B + 100)
+    k = jnp.asarray(rng.randint(-127, 128, (L, B, S, D)), jnp.int8)
+    v = jnp.asarray(rng.randint(-127, 128, (L, B, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.rand(L, B, 1, S), jnp.float32)
+    vs = jnp.asarray(rng.rand(L, B, 1, S), jnp.float32)
+    kq = jnp.asarray(rng.randint(-127, 128, (L, B, D)), jnp.int8)
+    vq = jnp.asarray(rng.randint(-127, 128, (L, B, D)), jnp.int8)
+    ksc = jnp.asarray(rng.rand(L, B), jnp.float32)
+    vsc = jnp.asarray(rng.rand(L, B), jnp.float32)
+    past = np.array([(31 * i + 5) % S for i in range(B)], np.int32)
+    past[0] = 0
+    if B > 1:
+        past[1] = S - 1
+    past = jnp.asarray(past)
+
+    k_ref = np.asarray(k).copy()
+    v_ref = np.asarray(v).copy()
+    ks_ref = np.asarray(ks).copy()
+    vs_ref = np.asarray(vs).copy()
+    for b in range(B):
+        p = int(past[b])
+        k_ref[:, b, p] = np.asarray(kq[:, b])
+        v_ref[:, b, p] = np.asarray(vq[:, b])
+        ks_ref[:, b, 0, p] = np.asarray(ksc[:, b])
+        vs_ref[:, b, 0, p] = np.asarray(vsc[:, b])
+
+    k2, v2, ks2, vs2 = kv_commit_quant_pallas(
+        k, v, ks, vs,
+        jnp.transpose(kq, (1, 0, 2)), jnp.transpose(vq, (1, 0, 2)),
+        jnp.transpose(ksc, (1, 0))[..., None],
+        jnp.transpose(vsc, (1, 0))[..., None],
+        past, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2), k_ref)
+    np.testing.assert_array_equal(np.asarray(v2), v_ref)
+    np.testing.assert_array_equal(np.asarray(ks2), ks_ref)
+    np.testing.assert_array_equal(np.asarray(vs2), vs_ref)
