@@ -26,21 +26,26 @@ def greedy(logits: jax.Array) -> jax.Array:
 def topk_2stage(x: jax.Array, k: int, groups: int = 16):
     """EXACT top-k over a wide minor axis (drop-in for ``jax.lax.top_k``).
 
-    Round-4 re-measurement (tools/bench/probe_sampler32.py, fair
-    consumers): XLA's DIRECT top_k at (32, 42384) k=64 runs 0.36 ms/step
-    on this chip — 2.7x FASTER than this function's grouped two-stage
-    formulation (0.97 at groups=16, 0.76 at 64), inverting the round-3
-    finding the grouping was built on (that comparison was confounded —
-    its direct-top_k consumer let XLA simplify the op). Direct is now the
-    default; the grouped path stays behind ``BIOGPT_TOPK=grouped`` for
-    re-measurement on other toolchains. Both are exact including
-    tie-breaking (groups cover ascending index ranges and lax.top_k is
-    index-stable, so equal values resolve to the lowest global index).
+    The direct-vs-grouped ranking is CONTEXT-DEPENDENT on this chip and
+    was measured both ways in round 4 (same process, medians):
+
+    - standalone jit, (32, 42384) k=64 (tools/bench/probe_sampler32.py):
+      direct 0.36 ms vs grouped 0.97/0.76 (groups=16/64) — direct 2.7x.
+    - inside the REAL serving scan (megakernel + epilogue + sampler under
+      lax.scan, tools/bench/bench_step32.py STEP_SAMPLER_AB=1): sampled
+      step 2.73 ms/step direct vs 2.26 grouped — grouped 0.47 ms/step
+      cheaper. XLA schedules the op differently against the surrounding
+      program; the scan context is what serving actually executes.
+
+    Grouped is therefore the default; ``BIOGPT_TOPK=direct`` forces the
+    direct form for re-measurement. Both are exact including tie-breaking
+    (groups cover ascending index ranges and lax.top_k is index-stable,
+    so equal values resolve to the lowest global index).
     """
     import os
 
     B, V = x.shape
-    if os.environ.get("BIOGPT_TOPK") != "grouped":
+    if os.environ.get("BIOGPT_TOPK", "grouped") == "direct":
         return jax.lax.top_k(x, k)
     if V < groups * k * 4:       # small vocabs: grouping can't pay
         return jax.lax.top_k(x, k)

@@ -24,6 +24,7 @@ data-axis extension (each host owns a shard of slots).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -497,6 +498,47 @@ class BatchedEngine:
         return (cache, (toks, lengths, first_buf, temps, top_ps, top_ks),
                 lens, rng)
 
+    def _split_refill_groups(self, pairs):
+        """Partition one refill wave into length-bucket prefill groups.
+
+        Cost model (both terms in padded prompt tokens — prefill runs at a
+        roughly constant token rate once MXU-bound): a group of n rows
+        padded to bucket P costs ``bucket_rows(n) * P``; every extra
+        program costs ``REFILL_SPLIT_COST`` more (its full packed-weight
+        dequant traffic + dispatch, ~3-4 ms ≈ 350-400 prefill-rate tokens
+        on this chip; default 512 is deliberately conservative). Rows
+        sort by descending bucket and groups may only cut at bucket
+        boundaries (cutting inside a bucket can't reduce padding), so with
+        <= 5 distinct power-of-two buckets the exact optimum over <= 3
+        groups is a tiny brute force.
+
+        Uniform waves (one bucket) always yield ONE group — the round-2
+        finding that per-bucket splitting loses on uniform workloads is
+        preserved by the cost model itself.
+        """
+        split_cost = int(os.environ.get("BIOGPT_REFILL_SPLIT_COST", "512"))
+        dec = sorted(pairs, key=lambda p: len(p[1].prompt_ids),
+                     reverse=True)
+        buckets = [min(_bucket(len(req.prompt_ids)), self.max_seq)
+                   for _, req in dec]
+        # candidate cut points: indices where the bucket shrinks
+        cuts = [i for i in range(1, len(dec)) if buckets[i] != buckets[i - 1]]
+
+        def group_cost(i, j):   # rows dec[i:j] as one program
+            return min(_bucket(j - i, floor=1), self.B) * buckets[i]
+
+        best = (group_cost(0, len(dec)), [])
+        from itertools import combinations
+        for k in (1, 2):
+            for cs in combinations(cuts, k):
+                edges = [0, *cs, len(dec)]
+                cost = sum(group_cost(edges[e], edges[e + 1])
+                           for e in range(len(edges) - 1)) + k * split_cost
+                if cost < best[0]:
+                    best = (cost, list(cs))
+        edges = [0, *best[1], len(dec)]
+        return [dec[edges[e]:edges[e + 1]] for e in range(len(edges) - 1)]
+
     @staticmethod
     def _gen_vectors(reqs, gen: GenerationParams):
         temps = jnp.asarray(
@@ -873,24 +915,31 @@ class BatchedEngine:
             self.metrics.inc("requests_accepted", n_reg)
             if not pairs:
                 return []
-            # ONE program per refill wave: short prompts pad to the wave's
-            # max bucket. A per-bucket split was tried first (round 2) and
-            # measured worse — each refill program pays the full packed-
-            # weight dequant traffic (~3-4 ms device) no matter how few
-            # rows it prefills, so per-wave program count, not padded
-            # prefill FLOPs, is the cost that matters. Bucket shapes stay
-            # the same power-of-two family, so no extra programs compile.
-            self.metrics.inc("refill_programs", 1)
-            slot_state = (toks, lengths, first_buf, temps, top_ps, top_ks)
-            cache, slot_state, lens, rng = self._prefill_group(
-                pairs, cache, rng, gen, slot_state)
-            (toks, lengths, first_buf, temps, top_ps, top_ks) = slot_state
-            refilled = [slot for slot, _ in pairs]
-            for r, (slot, req) in enumerate(pairs):
-                slot_req[slot] = req
-                lengths_host[slot] = lens[r]
-                sched_new[slot] = 1   # the prefill-sampled first token
-                fresh_slots.append(slot)
+            # Length-bucketed programs per refill wave. Round 2 measured a
+            # per-bucket split WORSE on the uniform workload (every program
+            # pays the full packed-weight dequant traffic, ~3-4 ms device,
+            # and uniform prompts share a bucket anyway) — but on MIXED
+            # waves one 512-bucket prompt forced every 8-token prompt to
+            # pad 64x, and the wasted prefill FLOPs dwarf an extra
+            # program's weight traffic. _split_refill_groups balances the
+            # two costs exactly; uniform waves still yield ONE program.
+            # Bucket shapes stay the same power-of-two family either way,
+            # so no extra programs compile.
+            refilled = []
+            for gp in self._split_refill_groups(pairs):
+                self.metrics.inc("refill_programs", 1)
+                slot_state = (toks, lengths, first_buf, temps, top_ps,
+                              top_ks)
+                cache, slot_state, lens, rng = self._prefill_group(
+                    gp, cache, rng, gen, slot_state)
+                (toks, lengths, first_buf, temps, top_ps, top_ks) = \
+                    slot_state
+                for r, (slot, req) in enumerate(gp):
+                    slot_req[slot] = req
+                    lengths_host[slot] = lens[r]
+                    sched_new[slot] = 1   # the prefill-sampled first token
+                    fresh_slots.append(slot)
+                    refilled.append(slot)
             return refilled
 
         try:

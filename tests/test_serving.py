@@ -325,3 +325,60 @@ def test_capacity_truncated_request_fires_on_complete(tiny_params):
                        on_complete=lambda rid, res: done.append(rid))
     assert sorted(done) == [0, 1]
     assert 0 < len(results[0].new_ids) < 40   # truncated, and notified
+
+
+def test_split_refill_groups_cost_model(tiny_params):
+    """The wave splitter: uniform waves stay ONE program; a wave mixing
+    one long prompt with many short ones splits at the bucket boundary;
+    splits that can't recoup the per-program cost don't happen."""
+    be = BatchedEngine(TINY, tiny_params, max_batch=32,
+                       compute_dtype=jnp.float32, max_seq=512)
+
+    def mk(n, plen, base=0):
+        return [(base + i,
+                 Request(prompt_ids=[2] * plen, request_id=base + i))
+                for i in range(n)]
+
+    # uniform: one group regardless of width
+    assert len(be._split_refill_groups(mk(32, 20))) == 1
+    # 1 long (bucket 512) + 20 short (bucket 32): folding the shorts pads
+    # 20*(512-32) ~ 9600 tokens >> split cost -> split into two programs,
+    # long group first
+    gps = be._split_refill_groups(mk(1, 500) + mk(20, 20, base=1))
+    assert len(gps) == 2
+    assert len(gps[0]) == 1 and len(gps[0][0][1].prompt_ids) == 500
+    assert len(gps[1]) == 20
+    # 2 rows at bucket 64 + 1 at bucket 32: saving 1*(64-32)=32 tokens
+    # can't pay for a program -> one group
+    assert len(be._split_refill_groups(mk(2, 60) + mk(1, 20, base=2))) == 1
+    # three widely-spread buckets can use up to three programs
+    gps = be._split_refill_groups(
+        mk(2, 500) + mk(8, 120, base=2) + mk(20, 8, base=10))
+    assert len(gps) == 3
+
+
+def test_split_refill_token_identity(tiny_params, single_engine):
+    """Splitting a mixed refill wave into length-bucket programs must not
+    change a single emitted token (vs the one-program wave, forced via a
+    huge split cost)."""
+    import os
+    prompts = ([[2] + list(range(3, 30))] +            # long
+               [[2, 5 + i] for i in range(5)])         # short
+    reqs = lambda: [Request(prompt_ids=list(p), n_predict=4, request_id=i)
+                    for i, p in enumerate(prompts)]
+    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+
+    be = BatchedEngine(TINY, tiny_params, max_batch=8,
+                       compute_dtype=jnp.float32, chunk=4)
+    split = {k: v.ids for k, v in be.serve(reqs(), gen).items()}
+
+    os.environ["BIOGPT_REFILL_SPLIT_COST"] = "1000000"
+    try:
+        be2 = BatchedEngine(TINY, tiny_params, max_batch=8,
+                            compute_dtype=jnp.float32, chunk=4)
+        merged = {k: v.ids for k, v in be2.serve(reqs(), gen).items()}
+    finally:
+        del os.environ["BIOGPT_REFILL_SPLIT_COST"]
+    assert split == merged
+    for i, p in enumerate(prompts):
+        assert split[i] == _expected(single_engine, p, 4), i

@@ -187,11 +187,15 @@ print(f"scatter vs per-slot DUS: {1e3*(f-a):+.3f} vs {1e3*(b-a):+.3f} "
       f"ms/step", flush=True)
 
 
-def scan_sampled_grouped(toks, cache, past, rng, temps, top_ps, top_ks):
+def scan_sampled_alt(toks, cache, past, rng, temps, top_ps, top_ks):
     # sample_per_request is itself jitted and its cached trace would
-    # otherwise ignore the env flip
+    # otherwise ignore the env flip; flips to whichever top-k formulation
+    # is NOT the current default (grouped is the default since the round-4
+    # in-scan A/B inverted the standalone probe's ranking)
     sample_per_request.clear_cache()
-    _os.environ["BIOGPT_TOPK"] = "grouped"
+    alt = "direct" if _os.environ.get("BIOGPT_TOPK", "grouped") != "direct" \
+        else "grouped"
+    _os.environ["BIOGPT_TOPK"] = alt
     try:
         return scan_sampled(toks, cache, past, rng, temps, top_ps, top_ks)
     finally:
@@ -203,13 +207,13 @@ if _os.environ.get("STEP_SAMPLER_AB", "0") == "1":
     # same-process A/B: the cross-process comparison of the two top-k
     # formulations disagreed with the standalone probe — chip drift or
     # context effects; this pins it
-    g1 = bench("sampled A/B: direct", scan_sampled,
+    g1 = bench("sampled A/B: default", scan_sampled,
                (toks, cache, past, rng, temps, top_ps, top_ks))
-    g2 = bench("sampled A/B: grouped", scan_sampled_grouped,
+    g2 = bench("sampled A/B: alt", scan_sampled_alt,
                (toks, cache, past, rng, temps, top_ps, top_ks))
-    g3 = bench("sampled A/B: direct(2)", scan_sampled,
+    g3 = bench("sampled A/B: default(2)", scan_sampled,
                (toks, cache, past, rng, temps, top_ps, top_ks))
-    print(f"direct {1e3*g1:.3f}/{1e3*g3:.3f} vs grouped {1e3*g2:.3f} "
+    print(f"default {1e3*g1:.3f}/{1e3*g3:.3f} vs alt {1e3*g2:.3f} "
           f"ms/step (same process)", flush=True)
 
 
