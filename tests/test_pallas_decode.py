@@ -525,3 +525,38 @@ def test_kv_commit_quant_kernel_matches_dus(B):
     np.testing.assert_array_equal(np.asarray(v2), v_ref)
     np.testing.assert_array_equal(np.asarray(ks2), ks_ref)
     np.testing.assert_array_equal(np.asarray(vs2), vs_ref)
+
+
+def test_fused_greedy_tail_batched_commit_matches():
+    """At B > 1 (lane-aligned D, bf16 cache) the greedy tail runs the
+    epilogue+commit kernel — token ids AND the committed cache must match
+    the separate-epilogue forward_fused_decode path at per-slot
+    positions."""
+    from biogpt_tpu.models.biogpt import forward_fused_decode_greedy
+
+    params = _packed_params(codecs.GGML_TYPE_Q4_0, seed=41)
+    B = 4
+    rng = np.random.RandomState(42)
+    cache = init_cache(CFG, batch=B, max_len=CFG.n_positions,
+                       dtype=jnp.bfloat16)
+    # distinct per-slot positions (edges included)
+    past = jnp.asarray([0, 3, 9, CFG.n_positions - 2], jnp.int32)
+    # seed the caches with junk so an off-position write would be seen
+    cache = type(cache)(
+        k=jnp.asarray(rng.randn(*cache.k.shape), jnp.bfloat16),
+        v=jnp.asarray(rng.randn(*cache.v.shape), jnp.bfloat16))
+    toks = jnp.asarray(rng.randint(3, CFG.n_vocab, size=(B, 1)), jnp.int32)
+
+    logits, cache_a = forward_fused_decode(
+        params, toks, cache, past, CFG, compute_dtype=jnp.bfloat16,
+        kv_window=CFG.n_positions, interpret=True)
+    tok_g, cache_b, ok = forward_fused_decode_greedy(
+        params, toks, cache, past, CFG, kv_window=CFG.n_positions,
+        interpret=True, with_health=True, health_per_row=True)
+    np.testing.assert_array_equal(
+        np.asarray(tok_g), np.asarray(logits).argmax(-1).astype(np.int32))
+    assert bool(np.asarray(ok).all())
+    np.testing.assert_array_equal(np.asarray(cache_a.k, np.float32),
+                                  np.asarray(cache_b.k, np.float32))
+    np.testing.assert_array_equal(np.asarray(cache_a.v, np.float32),
+                                  np.asarray(cache_b.v, np.float32))

@@ -297,3 +297,48 @@ def test_lm_head_argmax_wide_matches_oracle(qtype, m):
     np.testing.assert_array_equal(np.asarray(got), ref)
     np.testing.assert_allclose(np.asarray(mv),
                                logits[:, :n_valid].max(-1), rtol=1e-6)
+
+
+@pytest.mark.parametrize("m", [8, 32])
+def test_lm_head_argmax_commit_matches_separate(m):
+    """The fused epilogue+commit kernel == lm_head_argmax_pallas followed
+    by kv_commit_pallas: identical token ids/max values AND identical
+    committed caches, at unaligned per-slot positions incl. edges."""
+    import jax.numpy as jnp
+
+    from biogpt_tpu.ops.pallas_decode import kv_commit_pallas
+    from biogpt_tpu.ops.pallas_qmatmul import (
+        lm_head_argmax_commit_pallas, lm_head_argmax_pallas)
+
+    d_in, d_out, L, S = 128, 512, 3, 64
+    qt = pack_nibble_planes(_qt(codecs.GGML_TYPE_Q4_0, d_out=d_out,
+                                d_in=d_in, seed=31))
+    rng = np.random.RandomState(32)
+    x = rng.randn(m, d_in).astype(np.float32)
+    lnw = rng.randn(d_in).astype(np.float32)
+    lnb = (rng.randn(d_in) * 0.1).astype(np.float32)
+    k = jnp.asarray(rng.randn(L, m, S, d_in), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(L, m, S, d_in), jnp.bfloat16)
+    kr = jnp.asarray(rng.randn(m, L, d_in), jnp.float32)
+    vr = jnp.asarray(rng.randn(m, L, d_in), jnp.float32)
+    past = np.array([(11 * i + 3) % S for i in range(m)], np.int32)
+    past[0] = 0
+    past[-1] = S - 1
+    past = jnp.asarray(past)
+    n_valid = d_out - 37
+
+    ref_tok, ref_mv = lm_head_argmax_pallas(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb), qt,
+        n_valid=n_valid, interpret=True, with_max=True)
+    ref_k, ref_v = kv_commit_pallas(k, v, kr, vr, past, interpret=True)
+
+    tok, mv, k2, v2 = lm_head_argmax_commit_pallas(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb), qt, n_valid,
+        k, v, kr, vr, past, interpret=True)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(ref_mv),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k2, np.float32),
+                                  np.asarray(ref_k, np.float32))
+    np.testing.assert_array_equal(np.asarray(v2, np.float32),
+                                  np.asarray(ref_v, np.float32))
