@@ -282,6 +282,9 @@ def forward_fused_decode(
     kv_block: Optional[int] = None,  # KV block-size override (tests)
     per_slot_kv: bool = False,   # paged KV: each slot streams only its own
                                  # live blocks (mixed-length serving batches)
+    kv_groups: Optional[int] = None,  # group-clamped KV streaming: slot
+                                 # groups stop paying KV traffic at their
+                                 # own live window (mixed-length serving)
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode through the whole-model Pallas megakernel.
 
@@ -293,7 +296,8 @@ def forward_fused_decode(
     """
     x, cache = _fused_decode_hidden(
         params, tokens, cache, past, config, kv_window=kv_window,
-        interpret=interpret, kv_block=kv_block, per_slot_kv=per_slot_kv)
+        interpret=interpret, kv_block=kv_block, per_slot_kv=per_slot_kv,
+        kv_groups=kv_groups)
     x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
                     config.ln_eps)
     logits = matmul(x, params["lm_head"], compute_dtype=compute_dtype,
@@ -314,6 +318,7 @@ def forward_fused_decode_greedy(
     per_slot_kv: bool = False,
     with_health: bool = False,
     health_per_row: bool = False,
+    kv_groups: Optional[int] = None,
 ):
     """Greedy decode with the lm_head folded into the kernel chain.
 
@@ -348,7 +353,7 @@ def forward_fused_decode_greedy(
         x, k_rows, v_rows = _fused_decode_hidden(
             params, tokens, cache, past, config, kv_window=kv_window,
             interpret=interpret, kv_block=kv_block,
-            per_slot_kv=per_slot_kv, commit=False)
+            per_slot_kv=per_slot_kv, kv_groups=kv_groups, commit=False)
         past_vec = jnp.broadcast_to(
             jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
         tok, mv, k_new, v_new = lm_head_argmax_commit_pallas(
@@ -366,7 +371,8 @@ def forward_fused_decode_greedy(
 
     x, cache = _fused_decode_hidden(
         params, tokens, cache, past, config, kv_window=kv_window,
-        interpret=interpret, kv_block=kv_block, per_slot_kv=per_slot_kv)
+        interpret=interpret, kv_block=kv_block, per_slot_kv=per_slot_kv,
+        kv_groups=kv_groups)
     out = lm_head_argmax_pallas(
         x, params["final_ln"]["w"], params["final_ln"]["b"],
         params["lm_head"], n_valid=config.n_vocab, ln_eps=config.ln_eps,
@@ -435,6 +441,7 @@ def _fused_decode_hidden(
     interpret: bool = False,
     kv_block: Optional[int] = None,
     per_slot_kv: bool = False,
+    kv_groups: Optional[int] = None,
     commit: bool = True,
 ) -> Tuple[jax.Array, KVCache]:
     """Megakernel layer stack + KV-row writes; returns the pre-final-LN
@@ -462,7 +469,7 @@ def _fused_decode_hidden(
         ln_eps=config.ln_eps, interpret=interpret, kv_block=kv_block,
         k_scales=cache.ks if kv_quant else None,
         v_scales=cache.vs if kv_quant else None,
-        per_slot_kv=per_slot_kv)
+        per_slot_kv=per_slot_kv, kv_groups=kv_groups)
 
     if not commit:
         return x_out, k_rows, v_rows

@@ -356,7 +356,8 @@ def _make_kernel(names, *, D, H, KVB, eps, offset, packed, five_bit,
 
 
 def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
-                         five_bit, has_mins, kv_quant=False, staged=False):
+                         five_bit, has_mins, kv_quant=False, staged=False,
+                         groups=1):
     """Batched (B <= 32) variant of :func:`_make_kernel`.
 
     Differences from the single-stream kernel: ``past`` is a per-slot SMEM
@@ -365,6 +366,20 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
     one 2-D MXU dot PER SLOT against that slot's cache block — the
     online-softmax state then updates for all B*H head-rows at once.
     Matmuls use the dequant-then-dot formulation (:func:`_qmm_dq`).
+
+    ``groups`` > 1: group-clamped KV streaming (mixed-length serving).
+    The cache arrives as ``groups`` independent input streams of
+    (1, B/groups, KVB, D) blocks whose index maps clamp the KV-block
+    index to each group's own live block count (scalar-prefetched) —
+    Pallas skips the HBM->VMEM copy when a block index repeats (the same
+    revisit rule that already keeps layer weights resident across j), so
+    a group of short slots stops paying KV traffic at ITS window while
+    the grid keeps the lockstep (L, nW) shape. Stale (revisited) blocks
+    are fully masked by the ``idx < past`` validity test, which uses the
+    GRID block index — the math is exactly the lockstep kernel's. This
+    is the round-5 answer to per-slot paged KV's failure mode: elision
+    without per-block grid-step or DMA-sequencing overhead (paged
+    measured −36% at B=32; see RESULTS.md).
 
     ``staged``: chunk-local KV staging (the serving scan). Rows written
     during the current chunk live in a small (L, B, C, D) staging buffer
@@ -429,8 +444,16 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
             accsc[:] = jnp.zeros_like(accsc)
 
         # ---- one KV block: per-slot scores + shared softmax accumulation
+        GB = B // groups
+
+        def kv_ref(tensor, b):
+            # grouped streaming: slot b's block lives in its group's input
+            if groups > 1:
+                return r[f"{tensor}_g{b // GB}"][0, b % GB]
+            return r[tensor][0, b]
+
         def kblk_of(b):
-            blk = r["kcache"][0, b]                          # (KVB, D)
+            blk = kv_ref("kcache", b)                        # (KVB, D)
             return blk.astype(jnp.bfloat16) if kv_quant else blk
 
         scores = jnp.concatenate(
@@ -440,7 +463,7 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
         if kv_quant:
             # per-slot (1, KVB) K scales, repeated to that slot's H rows
             scores = scores * jnp.concatenate(
-                [jnp.broadcast_to(r["kcache_s"][0, b], (H, KVB))
+                [jnp.broadcast_to(kv_ref("kcache_s", b), (H, KVB))
                  for b in range(B)], axis=0)
         idx = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 1) + j * KVB
         past_col = jnp.concatenate(
@@ -463,8 +486,8 @@ def _make_kernel_batched(names, *, B, D, H, KVB, eps, offset, packed,
             # denominator above uses raw p)
             pb = p[b * H:(b + 1) * H, :]
             if kv_quant:
-                pb = pb * r["vcache_s"][0, b]
-            vb = r["vcache"][0, b]
+                pb = pb * kv_ref("vcache_s", b)
+            vb = kv_ref("vcache", b)
             return jnp.dot(pb.astype(jnp.bfloat16),
                            vb.astype(jnp.bfloat16) if kv_quant else vb,
                            preferred_element_type=jnp.float32)
@@ -989,7 +1012,7 @@ def supports_layers(layers: dict, cache_dtype, batch: int, n_new: int) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "window", "ln_eps", "interpret", "kv_block",
-                     "per_slot_kv"))
+                     "per_slot_kv", "kv_groups"))
 def decode_step_fused(
     x0: jax.Array,
     layers: dict,
@@ -1012,6 +1035,10 @@ def decode_step_fused(
     v_stage: jax.Array | None = None,  # rows written this chunk (see
                                        # _make_kernel_batched ``staged``)
     step_i: jax.Array | None = None,   # scalar: step index within the chunk
+    kv_groups: int | None = None,  # group-clamped KV streaming: slots
+                                   # split into kv_groups groups, each
+                                   # streaming only its own live blocks
+                                   # (see _make_kernel_batched ``groups``)
 ):
     """One full decode step over all layers (see module docstring).
 
@@ -1038,10 +1065,19 @@ def decode_step_fused(
     if W % KVB != 0:
         raise ValueError(f"window {W} not divisible by kv_block {KVB}")
     nW = W // KVB
+    grouped = (kv_groups is not None and kv_groups > 1 and B > 1
+               and not per_slot_kv and nW > 1)
+    if grouped:
+        if B % kv_groups != 0:
+            raise ValueError(
+                f"batch {B} not divisible by kv_groups {kv_groups}")
+        if k_stage is not None:
+            raise ValueError("kv_groups and staged KV do not compose")
 
-    if per_slot_kv:
-        # index maps gain the scalar-prefetch arg (per-slot block counts);
-        # the grid is (L, B) — the block sweep is an in-kernel DMA loop
+    if per_slot_kv or grouped:
+        # index maps gain the scalar-prefetch arg: per-slot block counts
+        # (paged: grid (L, B), in-kernel DMA loop) or per-GROUP block
+        # counts (grouped: grid (L, nW), clamped cache index maps)
         def const(shape):
             return pl.BlockSpec(shape, lambda l, b, nb: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
@@ -1070,7 +1106,8 @@ def decode_step_fused(
         jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
     past_row = past_vec.reshape(1, B)
     past_spec = (pl.BlockSpec((1, B), lambda l, b, nb: (0, 0),
-                              memory_space=pltpu.SMEM) if per_slot_kv else
+                              memory_space=pltpu.SMEM)
+                 if (per_slot_kv or grouped) else
                  pl.BlockSpec((1, B), lambda l, j: (0, 0),
                               memory_space=pltpu.SMEM))
     args = [past_row,
@@ -1097,30 +1134,64 @@ def decode_step_fused(
         args.append(as_rows(layers[name]["b"]))
         in_specs.append(per_layer((1, d_out)))
 
-    names += ["kcache", "vcache"]
-    args += [k_cache, v_cache]
-    if per_slot_kv:
-        # the kernel DMAs (KVB, D) blocks out of the full HBM-resident
-        # cache itself — only the blocks below each slot's live count move
-        kv_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    else:
-        kv_spec = pl.BlockSpec((1, B, KVB, D), lambda l, j: (l, 0, j, 0),
-                               memory_space=pltpu.VMEM)
-    in_specs += [kv_spec, kv_spec]
-    if kv_quant:
-        names += ["kcache_s", "vcache_s"]
-        args += [k_scales, v_scales]
-        if per_slot_kv:
-            # the whole per-slot scale row (S f32 = 4 KB at n_positions):
-            # the kernel slices the live KVB pieces out of VMEM
-            s_spec = pl.BlockSpec(
-                (1, 1, 1, k_scales.shape[-1]),
-                lambda l, b, nb: (l, b, 0, 0),
+    if grouped:
+        # the cache enters as kv_groups independent block streams; each
+        # group's index map clamps the block index to its own live count
+        # (nbg, scalar-prefetched), so Pallas's revisit rule elides the
+        # HBM copy for every block past the group's window
+        GB = B // kv_groups
+
+        def g_spec(g):
+            return pl.BlockSpec(
+                (1, GB, KVB, D),
+                lambda l, j, nbg, g=g: (l, g, jnp.minimum(j, nbg[g] - 1), 0),
                 memory_space=pltpu.VMEM)
+
+        for g in range(kv_groups):
+            names += [f"kcache_g{g}", f"vcache_g{g}"]
+            args += [k_cache, v_cache]
+            in_specs += [g_spec(g), g_spec(g)]
+        if kv_quant:
+            def gs_spec(g):
+                return pl.BlockSpec(
+                    (1, GB, 1, KVB),
+                    lambda l, j, nbg, g=g: (l, g, 0,
+                                            jnp.minimum(j, nbg[g] - 1)),
+                    memory_space=pltpu.VMEM)
+
+            for g in range(kv_groups):
+                names += [f"kcache_s_g{g}", f"vcache_s_g{g}"]
+                args += [k_scales, v_scales]
+                in_specs += [gs_spec(g), gs_spec(g)]
+    else:
+        names += ["kcache", "vcache"]
+        args += [k_cache, v_cache]
+        if per_slot_kv:
+            # the kernel DMAs (KVB, D) blocks out of the full HBM-resident
+            # cache itself — only the blocks below each slot's live count
+            # move
+            kv_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         else:
-            s_spec = pl.BlockSpec((1, B, 1, KVB), lambda l, j: (l, 0, 0, j),
-                                  memory_space=pltpu.VMEM)
-        in_specs += [s_spec, s_spec]
+            kv_spec = pl.BlockSpec((1, B, KVB, D),
+                                   lambda l, j: (l, 0, j, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs += [kv_spec, kv_spec]
+        if kv_quant:
+            names += ["kcache_s", "vcache_s"]
+            args += [k_scales, v_scales]
+            if per_slot_kv:
+                # the whole per-slot scale row (S f32 = 4 KB at
+                # n_positions): the kernel slices the live KVB pieces out
+                # of VMEM
+                s_spec = pl.BlockSpec(
+                    (1, 1, 1, k_scales.shape[-1]),
+                    lambda l, b, nb: (l, b, 0, 0),
+                    memory_space=pltpu.VMEM)
+            else:
+                s_spec = pl.BlockSpec((1, B, 1, KVB),
+                                      lambda l, j: (l, 0, 0, j),
+                                      memory_space=pltpu.VMEM)
+            in_specs += [s_spec, s_spec]
 
     staged = k_stage is not None
     if staged:
@@ -1140,7 +1211,7 @@ def decode_step_fused(
     # int8-KV mode: the kernel's new K/V rows leave in f32 so the caller's
     # row quantization sees full precision
     cache_dtype = jnp.float32 if kv_quant else k_cache.dtype
-    if per_slot_kv:
+    if per_slot_kv or grouped:
         row_spec = pl.BlockSpec((1, B, D), lambda l, b, nb: (l, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_specs = [
@@ -1188,7 +1259,8 @@ def decode_step_fused(
         kernel = _make_kernel_batched(
             names, B=B, D=D, H=H, KVB=KVB, eps=ln_eps, offset=offset,
             packed=packed, five_bit=five_bit, has_mins=has_mins,
-            kv_quant=kv_quant, staged=staged)
+            kv_quant=kv_quant, staged=staged,
+            groups=kv_groups if grouped else 1)
 
     # bytes: levels+scales+biases per layer, KV window, outputs
     wbytes = sum(int(jnp.size(layers[n]["w"].levels))
@@ -1231,6 +1303,31 @@ def decode_step_fused(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(nblocks, *args)
+        return x_out, k_rows, v_rows
+
+    if grouped:
+        # per-GROUP live block count: ceil(max past in group / KVB),
+        # clamped to [1, nW] (the current token is handled in-kernel;
+        # cache reads cover idx < past only, and garbage slots' positions
+        # may exceed the window)
+        gmax = jnp.max(past_vec.reshape(kv_groups, B // kv_groups), axis=1)
+        nbg = jnp.clip((gmax + KVB - 1) // KVB, 1, nW).astype(jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, nW),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        x_out, k_rows, v_rows = pl.pallas_call(
+            lambda nbg_ref, *refs: kernel(*refs),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(nbg, *args)
         return x_out, k_rows, v_rows
 
     x_out, k_rows, v_rows = pl.pallas_call(

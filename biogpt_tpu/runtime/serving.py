@@ -93,6 +93,7 @@ class BatchedEngine:
         health_check: bool = True,
         watchdog_s: Optional[float] = None,
         tp_fused_decode: bool = False,
+        kv_groups: Optional[int] = None,
     ):
         self.config = config
         self.B = max_batch
@@ -171,6 +172,23 @@ class BatchedEngine:
         if paged_kv is None:
             paged_kv = False
         self._paged_kv = bool(paged_kv) and self._fused_decode
+        # Group-clamped KV streaming (round 5): slots split into kv_groups
+        # groups; the megakernel fetches each group's KV stream clamped at
+        # that group's own live block count, so a batch where only a few
+        # slots hold long-prompt requests stops paying the batch-wide
+        # window for everyone (the structural cause of the round-4
+        # uniform-vs-mixed serving gap). Pure elision — the kernel's grid
+        # and math are unchanged (ops/pallas_decode._make_kernel_batched
+        # ``groups``), and _assign_slots gives the scheduler length
+        # affinity at group granularity so longs cluster. None -> auto
+        # (BIOGPT_KV_GROUPS env, else 8 when the shape allows).
+        if kv_groups is None:
+            kv_groups = int(os.environ.get("BIOGPT_KV_GROUPS", "-1"))
+            if kv_groups < 0:
+                kv_groups = 8 if self.B % 8 == 0 else 1
+        self._kv_groups = (kv_groups if kv_groups > 1
+                           and self._fused_decode and not self._paged_kv
+                           and self.B % kv_groups == 0 else None)
         # Chunk-local KV staging (opt-in): replaces the 2·B per-slot cache
         # writes per step (xprof: ~0.25 ms/step at B=32) with one
         # slot-agnostic staging write per step + a per-chunk commit, and
@@ -323,7 +341,7 @@ class BatchedEngine:
                     params, toks, cache, lengths, self.config,
                     kv_window=kv_window, interpret=self._interpret,
                     per_slot_kv=self._paged_kv, with_health=True,
-                    health_per_row=True)
+                    health_per_row=True, kv_groups=self._kv_groups)
                 health = jnp.logical_and(health,
                                          jnp.all(ok_rows | ~live))
                 out_buf = jax.lax.dynamic_update_slice(
@@ -335,7 +353,8 @@ class BatchedEngine:
                 logits, cache = forward_fused_decode(
                     params, toks, cache, lengths, self.config,
                     compute_dtype=self.compute_dtype, kv_window=kv_window,
-                    interpret=self._interpret, per_slot_kv=self._paged_kv)
+                    interpret=self._interpret, per_slot_kv=self._paged_kv,
+                    kv_groups=self._kv_groups)
             else:
                 logits, cache = self._fwd(
                     params, toks, cache, lengths, self.config,
@@ -367,6 +386,14 @@ class BatchedEngine:
             forward_fused_decode_staged) and commit to the cache once at
             chunk end — replacing 2·B per-slot cache writes per step,
             xprof-measured at ~0.25 ms/step (20%) at B=32."""
+            # slots with no bound request keep decoding garbage; without a
+            # reset their positions ratchet up forever, inflating the
+            # group-clamped KV windows (and the bound-only window bucket)
+            # with dead slots. Zeroing them is safe: a past=0 slot attends
+            # only its current token (same as a fresh slot), commits its
+            # garbage rows at [0, n_steps) of its OWN slot, and a later
+            # refill overwrites [0, prompt) before any row is read.
+            lengths = jnp.where(live, lengths, 0)
             out_buf = jnp.zeros((n_steps, self.B), jnp.int32)
             if staged:
                 from ..models.biogpt import forward_fused_decode_staged
@@ -880,15 +907,57 @@ class BatchedEngine:
                 return True
             return req_done(req)
 
+        def assign_slots(free_slots: List[int], reqs: List[Request]):
+            """Map accepted requests onto free slots, length-affine at KV-
+            group granularity (best-fit decreasing).
+
+            With group-clamped KV streaming (``kv_groups``) the KV bytes a
+            chunk reads are the sum of per-GROUP windows, so WHERE a long
+            request sits matters: packing longs into the group that is
+            already tallest keeps the other groups' windows short. Each
+            request's expected final length (prompt + n_predict) is placed
+            into the group whose running max grows least; among groups it
+            already fits, the tightest (best fit). Without grouping the
+            assignment is the old first-free-slot order."""
+            G = self._kv_groups
+            if not G or len(reqs) <= 1:
+                return list(zip(free_slots, reqs))
+            GB = self.B // G
+            cur_max = [0] * G
+            for b in range(self.B):
+                if slot_req[b] is not None:   # freed slots were cleared
+                    g = b // GB
+                    cur_max[g] = max(cur_max[g], lengths_host[b])
+            free_by_g: Dict[int, List[int]] = {}
+            for s in sorted(free_slots):
+                free_by_g.setdefault(s // GB, []).append(s)
+            order = sorted(
+                reqs, key=lambda r: -(len(r.prompt_ids) + r.n_predict))
+            pairs = []
+            for req in order:
+                rlen = min(len(req.prompt_ids) + req.n_predict,
+                           self.max_seq)
+                best_g, best_key = None, None
+                for g, slots in free_by_g.items():
+                    if not slots:
+                        continue
+                    inc = max(cur_max[g], rlen) - cur_max[g]
+                    key = (inc, cur_max[g])
+                    if best_key is None or key < best_key:
+                        best_g, best_key = g, key
+                slot = free_by_g[best_g].pop(0)
+                cur_max[best_g] = max(cur_max[best_g], rlen)
+                pairs.append((slot, req))
+            return pairs
+
         def refill(free_slots: List[int]):
             """Fill free slots from the queue with one batched prefill per
             prompt bucket."""
             nonlocal cache, toks, lengths, rng, first_buf
             nonlocal temps, top_ps, top_ks
-            pairs = []
+            accepted: List[Request] = []
             n_reg = 0
             with state_lock:   # notify() iterates/evicts these dicts
-                free_iter = iter(free_slots)
                 while queue:
                     req = queue.pop(0)
                     n_reg += 1
@@ -903,15 +972,15 @@ class BatchedEngine:
                         # completes its future with an empty result) but
                         # never given a slot or a prefill
                         continue
-                    slot = next(free_iter, None)
-                    if slot is None:
+                    if len(accepted) == len(free_slots):
                         queue.insert(0, req)
                         del reqs_by_id[req.request_id]
                         del results[req.request_id]
                         accept_t.pop(req.request_id, None)
                         n_reg -= 1
                         break
-                    pairs.append((slot, req))
+                    accepted.append(req)
+            pairs = assign_slots(free_slots, accepted)
             self.metrics.inc("requests_accepted", n_reg)
             if not pairs:
                 return []
@@ -1008,15 +1077,20 @@ class BatchedEngine:
 
                 # decode a chunk in lockstep under ONE scan dispatch (per-step
                 # dispatch + argument binding dominates otherwise); inactive
-                # slots compute garbage that the host simply doesn't emit.
-                # (Over-advanced garbage positions clamp inside
-                # dynamic_update_slice to the slot's own last cache row.)
+                # slots compute garbage that the host simply doesn't emit
+                # (their device positions reset to 0 at launch — see
+                # step_scan — so they can't inflate the window buckets).
                 # floor 128: a 64 floor was measured (round 3) and bought
                 # nothing — the B=8 step is not KV-bandwidth-bound below
                 # ~128 live rows — so the extra compiled scan per serve
-                # shape isn't paid for.
-                window = min(_bucket(max(lengths_host) + self.chunk, floor=128),
-                             self.max_seq)
+                # shape isn't paid for. The bucket covers BOUND slots only
+                # (round 5): before this, one drained-but-unrefilled slot's
+                # ratcheting host mirror pinned every chunk at the max
+                # window for the rest of the serve.
+                bound_lens = [lengths_host[b] for b in range(self.B)
+                              if busy[b]]
+                window = min(_bucket(max(bound_lens) + self.chunk,
+                                     floor=128), self.max_seq)
                 # live intake always runs the per-request sampler (it handles
                 # greedy rows): flipping the static all_greedy flag when a
                 # sampled request joined a greedy batch would stall EVERY

@@ -101,7 +101,7 @@ def test_fused_decode_blockwise_kv_vs_oracle():
 
 
 def _batched_step_pair(qtype, past_list, window, n_steps=3, seed=0,
-                       kv_block=None, per_slot_kv=False):
+                       kv_block=None, per_slot_kv=False, kv_groups=None):
     """Run fused-vs-oracle batched decode steps over a shared random cache
     with per-slot positions (the serving shape), feeding both sides the
     ORACLE's greedy tokens."""
@@ -127,7 +127,7 @@ def _batched_step_pair(qtype, past_list, window, n_steps=3, seed=0,
             kv_window=window)
         logits_f, cache_f = forward_fused_decode(
             params, t, cache_f, p, CFG, kv_window=window, interpret=True,
-            kv_block=kv_block, per_slot_kv=per_slot_kv)
+            kv_block=kv_block, per_slot_kv=per_slot_kv, kv_groups=kv_groups)
         yield np.asarray(logits_o), np.asarray(logits_f), cache_o, cache_f
         toks = np.asarray(logits_o).argmax(-1)[:, None].astype(np.int32)
         past = past + 1
@@ -260,6 +260,51 @@ def test_fused_decode_paged_single_slot():
                                rtol=5e-2, atol=0.35)
 
 
+def test_fused_decode_grouped_vs_oracle():
+    """Group-clamped KV streaming (kv_groups): ragged per-slot positions
+    spanning several KV blocks, groups clamping at different block
+    counts — same math as the oracle."""
+    for logits_o, logits_f, cache_o, cache_f in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_0, past_list=[3, 14, 1, 9], window=16,
+            kv_block=8, kv_groups=2):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+        np.testing.assert_allclose(
+            np.asarray(cache_f.k, np.float32),
+            np.asarray(cache_o.k, np.float32), rtol=2e-2, atol=0.1)
+
+
+def test_fused_decode_grouped_matches_lockstep():
+    """Grouped and lockstep kernels are BIT-identical (grouping changes
+    which cache blocks stream, never the math; stale revisited blocks are
+    masked by idx < past)."""
+    runs = {}
+    for groups in (None, 2, 4):
+        outs = [logits_f for _, logits_f, *_ in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_0, past_list=[2, 13, 7, 1], window=16,
+            kv_block=8, n_steps=3, kv_groups=groups)]
+        runs[groups] = np.stack(outs)
+    np.testing.assert_array_equal(runs[2], runs[None])
+    np.testing.assert_array_equal(runs[4], runs[None])
+
+
+def test_fused_decode_grouped_mins_format():
+    for logits_o, logits_f, *_ in _batched_step_pair(
+            codecs.GGML_TYPE_Q4_1, past_list=[2, 9, 12, 4], window=16,
+            n_steps=2, kv_block=8, kv_groups=2):
+        assert (logits_o.argmax(-1) == logits_f.argmax(-1)).all()
+        np.testing.assert_allclose(logits_f, logits_o, rtol=5e-2, atol=0.35)
+
+
+def test_grouped_rejects_bad_shapes():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        list(_batched_step_pair(
+            codecs.GGML_TYPE_Q4_0, past_list=[2, 9, 12], window=16,
+            kv_block=8, n_steps=1, kv_groups=2))
+
+
 def test_supports_layers():
     layers = _packed_params(codecs.GGML_TYPE_Q4_0)["layers"]
     assert supports_layers(layers, jnp.bfloat16, batch=1, n_new=1)
@@ -318,6 +363,84 @@ def test_serving_fused_matches_per_op():
         set_pallas_mode("auto")
     for i in range(len(reqs)):
         assert fused[i].ids == plain[i].ids, i
+
+
+def test_serving_grouped_kv_matches_per_op():
+    """BatchedEngine e2e with group-clamped KV streaming + length-affinity
+    slot assignment (kv_groups=2 over 4 slots): token-identical to the
+    per-op path request-for-request, including refill waves with mixed
+    prompt lengths (what the feature is for)."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    sd = make_state_dict(CFG, seed=13)
+    params = params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_0)
+    rng = np.random.RandomState(5)
+    prompts = [[2] + rng.randint(3, CFG.n_vocab, size=n).tolist()
+               for n in (2, 11, 3, 24, 2, 9)]   # mixed: longs force windows
+    reqs = [Request(prompt_ids=p, n_predict=4, request_id=i)
+            for i, p in enumerate(prompts)]
+    gen = GenerationParams(temp=0.0, stop_at_eos=False)
+
+    be = BatchedEngine(CFG, params, max_batch=4, chunk=2,
+                       compute_dtype=jnp.bfloat16, max_seq=64, kv_groups=2)
+    assert be._fused_decode and be._kv_groups == 2
+    try:
+        set_pallas_mode(True)   # CPU: run kernels in interpret mode
+        fused = be.serve(reqs, gen)
+        set_pallas_mode(False)
+        plain = be.serve(reqs, gen)
+    finally:
+        set_pallas_mode("auto")
+    for i in range(len(reqs)):
+        assert fused[i].ids == plain[i].ids, i
+
+
+def test_assign_slots_affinity():
+    """Length-affinity slot assignment packs long requests into the group
+    that is already tallest and best-fits the rest."""
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    sd = make_state_dict(CFG, seed=0)
+    params = params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_0)
+    be = BatchedEngine(CFG, params, max_batch=8, chunk=2,
+                       compute_dtype=jnp.bfloat16, max_seq=64, kv_groups=4)
+    assert be._kv_groups == 4
+
+    # drive serve() far enough to exercise assign_slots via a real refill:
+    # 2 long + 6 short requests; with G=4 (GB=2) the two longs must land
+    # in the SAME group (slots {0,1}, {2,3}, {4,5} or {6,7})
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+
+    rng = np.random.RandomState(9)
+    longs = [[2] + rng.randint(3, CFG.n_vocab, size=30).tolist()
+             for _ in range(2)]
+    shorts = [[2] + rng.randint(3, CFG.n_vocab, size=3).tolist()
+              for _ in range(6)]
+    # interleave so FIFO order alone would scatter them
+    prompts = [longs[0], shorts[0], shorts[1], longs[1]] + shorts[2:]
+    reqs = [Request(prompt_ids=p, n_predict=2, request_id=i)
+            for i, p in enumerate(prompts)]
+    seen_groups = []
+    orig_prefill = be._prefill_group
+
+    def spy(pairs, *a, **k):
+        for slot, req in pairs:
+            if len(req.prompt_ids) > 20:
+                seen_groups.append(slot // 2)
+        return orig_prefill(pairs, *a, **k)
+
+    be._prefill_group = spy
+    try:
+        set_pallas_mode(True)
+        be.serve(reqs, GenerationParams(temp=0.0, stop_at_eos=False))
+    finally:
+        set_pallas_mode("auto")
+        be._prefill_group = orig_prefill
+    assert len(seen_groups) == 2 and seen_groups[0] == seen_groups[1], \
+        seen_groups
 
 
 def test_serving_staged_kv_matches_per_op():
