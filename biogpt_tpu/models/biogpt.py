@@ -384,6 +384,51 @@ def forward_fused_decode_greedy(
     return out, cache
 
 
+def forward_fused_decode_sampled(
+    params: dict,
+    tokens: jax.Array,           # (B, 1) int32, 2 <= B <= 32
+    cache: KVCache,
+    past: jax.Array,             # (B,) per-slot positions
+    config: BioGptConfig,
+    kv_window: int = 128,
+    interpret: bool = False,
+    kv_block: Optional[int] = None,
+    kv_groups: Optional[int] = None,
+):
+    """Sampled batched decode with the epilogue + KV commit fused.
+
+    The sampled serving step's tail was: commit kernel + XLA final LN +
+    wide lm_head kernel + full-width sampler stage 1. Here one kernel
+    (ops.pallas_qmatmul.lm_head_logits_gmax_commit_pallas) runs final LN
+    + lm_head + the KV commit (RMW DMAs hidden under the lm_head MXU
+    work, as in the greedy argmax+commit fusion) and ALSO emits the
+    per-128-lane-group logit maxima — stage 1 of the exact gather-top-k
+    sampler (runtime.sampling.topk_gather) — while each vocab tile is
+    still in VMEM.
+
+    Returns ``(logits (B, d_out_padded) f32, gmax (B, d_out//128),
+    cache')``. Pad columns carry -1e30 (in gmax too), so the sampler can
+    run on the PADDED width; emitted ids stay < n_vocab. bf16 cache only.
+    """
+    from ..ops.pallas_qmatmul import lm_head_logits_gmax_commit_pallas
+
+    B = tokens.shape[0]
+    x, k_rows, v_rows = _fused_decode_hidden(
+        params, tokens, cache, past, config, kv_window=kv_window,
+        interpret=interpret, kv_block=kv_block, kv_groups=kv_groups,
+        commit=False)
+    past_vec = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,))
+    logits, gmax, k_new, v_new = lm_head_logits_gmax_commit_pallas(
+        x, params["final_ln"]["w"], params["final_ln"]["b"],
+        params["lm_head"], config.n_vocab,
+        cache.k, cache.v,
+        jnp.transpose(k_rows, (1, 0, 2)),
+        jnp.transpose(v_rows, (1, 0, 2)), past_vec,
+        ln_eps=config.ln_eps, interpret=interpret)
+    return logits, gmax, KVCache(k=k_new, v=v_new)
+
+
 def forward_fused_decode_staged(
     params: dict,
     tokens: jax.Array,           # (B, 1) int32, 2 <= B <= 32

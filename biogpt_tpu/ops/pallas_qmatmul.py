@@ -292,6 +292,77 @@ def qmatmul_pallas_wide(x: jax.Array, qt: QuantizedTensor,
     )(*args)
 
 
+def _ln_lmhead_tile(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref, *,
+                    offset: int, packed: bool, five_bit: bool, eps: float):
+    """Shared epilogue tile body: final LN (recomputed per tile — ~3*M*d_in
+    VPU flops, noise against the tile's DMA) + one lm_head vocab tile's
+    logits via the X'-block (M <= 8) or dequant-then-dot (M > 8)
+    formulation. Returns the (M, T) f32 logits tile."""
+    M = x_ref.shape[0]
+    d_in = x_ref.shape[1]
+    nb = d_in // QK
+
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    xn = (y * lnw_ref[:].astype(jnp.float32)
+          + lnb_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    if packed:
+        lv = unpack_levels_swar(lv_ref[:], d_in, five_bit)
+    else:
+        lv = lv_ref[:].astype(jnp.bfloat16)
+    scales = sc_ref[:].astype(jnp.float32)
+    mins = mn_ref[:].astype(jnp.float32) if mn_ref is not None else None
+
+    if M > 8:
+        # wide rows (batched serving): dequant-then-dot — the per-row X'
+        # loop costs M MXU passes per tile (built for B=1 decode), while
+        # one dequantized tile serves all M rows (same formulation/
+        # numerics as _kernel_wide)
+        chunk = min(d_in, _WIDE_CHUNK)
+        n_chunks = d_in // chunk
+        nb_c = chunk // QK
+        acc2 = None
+        for c in range(n_chunks):
+            b0 = c * nb_c
+            sexp = _expand_blocks(
+                sc_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
+            w = (lv[c * chunk:(c + 1) * chunk, :].astype(jnp.float32)
+                 - float(offset)) * sexp
+            if mn_ref is not None:
+                w = w + _expand_blocks(
+                    mn_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
+            part = jnp.dot(xn[:, c * chunk:(c + 1) * chunk],
+                           w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            acc2 = part if acc2 is None else acc2 + part
+        return acc2                                     # (M, T) f32
+
+    block_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 1) // QK
+    block_row = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 0)
+    offblock = jnp.minimum(jnp.abs(block_of_k - block_row), 1)
+    mask = (1 - offblock).astype(jnp.bfloat16)
+
+    rows = []
+    for m in range(M):
+        xp = xn[m, :][None, :] * mask
+        partial = jnp.dot(xp, lv, preferred_element_type=jnp.float32)
+        if offset or mins is not None:
+            xsum = jnp.sum(xp.astype(jnp.float32), axis=1, keepdims=True)
+            if offset:
+                partial = partial - float(offset) * xsum
+            acc = partial * scales
+            if mins is not None:
+                acc = acc + xsum * mins
+        else:
+            acc = partial * scales
+        rows.append(jnp.sum(acc, axis=0, keepdims=True))
+    return jnp.concatenate(rows, axis=0)                # (M, T) f32
+
+
 def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
                    out_ref, mv_ref, bv_ref, bi_ref, *, offset: int,
                    packed: bool, five_bit: bool, n_valid: int, T: int,
@@ -312,70 +383,10 @@ def _argmax_kernel(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref, mn_ref,
     """
     j = pl.program_id(0)
     M = x_ref.shape[0]
-    d_in = x_ref.shape[1]
-    nb = d_in // QK
 
-    # final LN in f32 (matches models.biogpt._layer_norm), recomputed per
-    # tile — ~3*M*d_in VPU flops, noise against the tile's DMA
-    x32 = x_ref[:].astype(jnp.float32)
-    mean = jnp.mean(x32, axis=1, keepdims=True)
-    xc = x32 - mean
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    y = xc * jax.lax.rsqrt(var + eps)
-    xn = (y * lnw_ref[:].astype(jnp.float32)
-          + lnb_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
-
-    if packed:
-        lv = unpack_levels_swar(lv_ref[:], d_in, five_bit)
-    else:
-        lv = lv_ref[:].astype(jnp.bfloat16)
-    scales = sc_ref[:].astype(jnp.float32)
-    mins = mn_ref[:].astype(jnp.float32) if mn_ref is not None else None
-
-    if M > 8:
-        # wide rows (batched greedy serving): dequant-then-dot — the
-        # per-row X' loop below costs M MXU passes per tile (built for
-        # B=1 decode), while one dequantized tile serves all M rows
-        # (same formulation/numerics as _kernel_wide)
-        chunk = min(d_in, _WIDE_CHUNK)
-        n_chunks = d_in // chunk
-        nb_c = chunk // QK
-        acc2 = None
-        for c in range(n_chunks):
-            b0 = c * nb_c
-            sexp = _expand_blocks(
-                sc_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
-            w = (lv[c * chunk:(c + 1) * chunk, :].astype(jnp.float32)
-                 - float(offset)) * sexp
-            if mn_ref is not None:
-                w = w + _expand_blocks(
-                    mn_ref[b0:b0 + nb_c, :].astype(jnp.bfloat16), nb_c)
-            part = jnp.dot(xn[:, c * chunk:(c + 1) * chunk],
-                           w.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-            acc2 = part if acc2 is None else acc2 + part
-        logits = acc2                                   # (M, T) f32
-    else:
-        block_of_k = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 1) // QK
-        block_row = jax.lax.broadcasted_iota(jnp.int32, (nb, d_in), 0)
-        offblock = jnp.minimum(jnp.abs(block_of_k - block_row), 1)
-        mask = (1 - offblock).astype(jnp.bfloat16)
-
-        rows = []
-        for m in range(M):
-            xp = xn[m, :][None, :] * mask
-            partial = jnp.dot(xp, lv, preferred_element_type=jnp.float32)
-            if offset or mins is not None:
-                xsum = jnp.sum(xp.astype(jnp.float32), axis=1, keepdims=True)
-                if offset:
-                    partial = partial - float(offset) * xsum
-                acc = partial * scales
-                if mins is not None:
-                    acc = acc + xsum * mins
-            else:
-                acc = partial * scales
-            rows.append(jnp.sum(acc, axis=0, keepdims=True))
-        logits = jnp.concatenate(rows, axis=0)          # (M, T) f32
+    logits = _ln_lmhead_tile(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref,
+                             mn_ref, offset=offset, packed=packed,
+                             five_bit=five_bit, eps=eps)
 
     col = j * T + jax.lax.broadcasted_iota(jnp.int32, (M, T), 1)
     # mask the lane-padding columns (zero scales would win over all-negative
@@ -475,6 +486,178 @@ def _argmax_commit_kernel(past_ref, x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref,
         for wk, wv in writes:
             wk.wait()
             wv.wait()
+
+
+def _logits_gmax_commit_kernel(past_ref, x_ref, lnw_ref, lnb_ref, lv_ref,
+                               sc_ref, mn_ref, krt, vrt, kc_in, vc_in,
+                               out_ref, gmax_ref, kc, vc,
+                               kbuf, vbuf, sems, *, B: int, offset: int,
+                               packed: bool, five_bit: bool, n_valid: int,
+                               T: int, nT: int, eps: float):
+    """Sampled-serving epilogue: final LN + lm_head logits + per-128-lane
+    GROUP MAXES + the batched KV commit, one launch.
+
+    The sampled lockstep step previously ran the commit as its own kernel
+    (0.36 ms/step at B=32 standalone) plus an XLA final LN and the wide
+    lm_head kernel; here the commit's RMW DMAs start at vocab tile 0 and
+    land under the lm_head MXU work exactly as in the greedy
+    ``_argmax_commit_kernel``. The (M, d_out/128) group maxima are free
+    while each tile is in VMEM and are stage 1 of the exact
+    gather-top-k sampler (runtime.sampling.topk_gather) — the sampler
+    never re-reads the full-width logits to rank groups. Pad columns
+    (>= n_valid) are masked to -1e30 in BOTH outputs, so downstream code
+    may use the padded width directly; health rides isfinite(gmax).
+    """
+    del kc_in, vc_in   # aliased to kc/vc
+    j = pl.program_id(0)
+    L, D = krt.shape[1], krt.shape[2]
+    M = x_ref.shape[0]
+
+    def rw(b, outward):
+        t_off = pl.multiple_of((past_ref[0, b] // 8) * 8, 8)
+        kt = kc.at[:, b, pl.ds(t_off, 8), :]
+        vt = vc.at[:, b, pl.ds(t_off, 8), :]
+        return (t_off,
+                pltpu.make_async_copy(*((kbuf.at[b], kt) if outward
+                                        else (kt, kbuf.at[b])),
+                                      sems.at[0, b]),
+                pltpu.make_async_copy(*((vbuf.at[b], vt) if outward
+                                        else (vt, vbuf.at[b])),
+                                      sems.at[1, b]))
+
+    @pl.when(j == 0)
+    def _start_reads():
+        for b in range(B):
+            _, ck, cv = rw(b, outward=False)
+            ck.start()
+            cv.start()
+
+    logits = _ln_lmhead_tile(x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref,
+                             mn_ref, offset=offset, packed=packed,
+                             five_bit=five_bit, eps=eps)
+    col = j * T + jax.lax.broadcasted_iota(jnp.int32, (M, T), 1)
+    logits = jnp.where(col < n_valid, logits, -1e30)
+    out_ref[:, :] = logits
+    gmax_ref[:, :] = jnp.concatenate(
+        [jnp.max(logits[:, p * 128:(p + 1) * 128], axis=1, keepdims=True)
+         for p in range(T // 128)], axis=1)
+
+    @pl.when(j == nT - 1)
+    def _fold_commit():
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (L, 8, D), 1)
+        writes = []
+        for b in range(B):
+            t_off, ck, cv = rw(b, outward=False)
+            ck.wait()
+            cv.wait()
+            r = past_ref[0, b] - t_off
+            kbuf[b] = jnp.where(row_ix == r,
+                                krt[b][:, None, :].astype(kbuf.dtype),
+                                kbuf[b])
+            vbuf[b] = jnp.where(row_ix == r,
+                                vrt[b][:, None, :].astype(vbuf.dtype),
+                                vbuf[b])
+            _, wk, wv = rw(b, outward=True)
+            wk.start()
+            wv.start()
+            writes.append((wk, wv))
+        for wk, wv in writes:
+            wk.wait()
+            wv.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_valid", "ln_eps", "interpret"))
+def lm_head_logits_gmax_commit_pallas(
+        x: jax.Array, ln_w: jax.Array, ln_b: jax.Array,
+        qt: QuantizedTensor, n_valid: int,
+        k_cache: jax.Array, v_cache: jax.Array,
+        k_rows_t: jax.Array, v_rows_t: jax.Array, past: jax.Array,
+        ln_eps: float = 1e-5, interpret: bool = False):
+    """Fused sampled epilogue + KV commit: returns ``(logits (M, d_out)
+    f32 [pad cols = -1e30], gmax (M, d_out//128), k_cache', v_cache')``
+    with the new K/V rows committed at each slot's own position (caches
+    donated). ``k_rows_t``/``v_rows_t`` arrive SLOT-MAJOR (B, L, D)."""
+    d_in = qt.scales.shape[-2] * QK
+    d_out = qt.scales.shape[-1]
+    M = x.shape[0]
+    T = _pick_tile(d_out)
+    nb = d_in // QK
+    nT = d_out // T
+    offset = LEVEL_OFFSET[qt.qtype] if qt.packed else 0
+    five_bit = qt.packed and qt.qtype in (GGML_TYPE_Q5_0, GGML_TYPE_Q5_1)
+    lv_rows = qt.levels.shape[0]
+    L, B, S, D = k_cache.shape
+    assert M == B and S % 8 == 0 and d_out % 128 == 0
+
+    full = lambda shape: pl.BlockSpec(shape, lambda j: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    past_row = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(past, jnp.int32)), (B,)).reshape(1, B)
+    in_specs = [
+        pl.BlockSpec((1, B), lambda j: (0, 0), memory_space=pltpu.SMEM),
+        full((M, d_in)),
+        full((1, d_in)),
+        full((1, d_in)),
+        pl.BlockSpec((lv_rows, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [past_row, x.astype(jnp.float32), ln_w.reshape(1, d_in),
+            ln_b.reshape(1, d_in), qt.levels, qt.scales]
+    kw = dict(offset=offset, packed=qt.packed, five_bit=five_bit,
+              n_valid=n_valid, T=T, nT=nT, eps=ln_eps, B=B)
+    if qt.mins is not None:
+        in_specs.append(pl.BlockSpec((nb, T), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(qt.mins)
+        kernel = functools.partial(_logits_gmax_commit_kernel, **kw)
+        n_pre = 7
+    else:
+        def kernel(past_ref, x_ref, lnw_ref, lnb_ref, lv_ref, sc_ref,
+                   krt, vrt, kc_in, vc_in, out_ref, gmax_ref, kc, vc,
+                   kbuf, vbuf, sems):
+            _logits_gmax_commit_kernel(past_ref, x_ref, lnw_ref, lnb_ref,
+                                       lv_ref, sc_ref, None, krt, vrt,
+                                       kc_in, vc_in, out_ref, gmax_ref,
+                                       kc, vc, kbuf, vbuf, sems, **kw)
+        n_pre = 6
+    in_specs += [full((B, L, D)), full((B, L, D)), any_spec, any_spec]
+    args += [k_rows_t.astype(k_cache.dtype), v_rows_t.astype(v_cache.dtype),
+             k_cache, v_cache]
+
+    level_bytes = lv_rows * d_out * qt.levels.dtype.itemsize
+    rmw = 2 * 2 * L * B * 8 * D * k_cache.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=2 * M * d_in * d_out,
+        bytes_accessed=(level_bytes + nb * d_out * 2 + M * d_in * 4
+                        + M * d_out * 4 + rmw),
+        transcendentals=0,
+    )
+
+    logits, gmax, kc, vc = pl.pallas_call(
+        kernel,
+        grid=(nT,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((M, T), lambda j: (0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((M, T // 128), lambda j: (0, j),
+                                memory_space=pltpu.VMEM),
+                   any_spec, any_spec],
+        out_shape=[jax.ShapeDtypeStruct((M, d_out), jnp.float32),
+                   jax.ShapeDtypeStruct((M, d_out // 128), jnp.float32),
+                   jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)],
+        input_output_aliases={n_pre + 2: 2, n_pre + 3: 3},
+        scratch_shapes=[pltpu.VMEM((B, L, 8, D), k_cache.dtype),
+                        pltpu.VMEM((B, L, 8, D), v_cache.dtype),
+                        pltpu.SemaphoreType.DMA((2, B))],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return logits, gmax, kc, vc
 
 
 @functools.partial(jax.jit,

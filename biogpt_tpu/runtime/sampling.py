@@ -23,32 +23,74 @@ def greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def topk_gather(x: jax.Array, k: int, gmax: jax.Array | None = None):
+    """EXACT top-k via group-max ranking + slab gather (round 5).
+
+    Stage 1 ranks 128-lane GROUPS by a cheap max-reduce (no sorting
+    network ever touches the full vocab width), stage 2 gathers the top-k
+    groups' 128-wide slabs and runs ONE ``lax.top_k`` over k*128 columns
+    — ~5x less partial-sort work than the direct form at 42k vocab.
+
+    Exact including ties: an element of the true top-k whose group were
+    excluded would need k groups ranked above its group, each of which
+    contributes an element beating it in (value, -index) order — ranked
+    groups tie-break to the lower group index, which covers strictly
+    lower global indices (selected group ids are re-sorted ascending
+    before the gather so stage 2's index-stability preserves the global
+    lowest-index-wins rule).
+
+    ``gmax``: optionally the precomputed (B, ceil(V/128)) group maxima —
+    the fused serving epilogue kernel emits them for free while the
+    lm_head tiles are in VMEM, removing stage 1's HBM re-read.
+    """
+    B, V = x.shape
+    G = -(-V // 128)
+    if G < k:   # tiny vocabs (tests): fewer groups than k — no stage 1
+        return jax.lax.top_k(x, k)
+    pad = G * 128 - V
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    xg = x.reshape(B, G, 128)
+    if gmax is None:
+        gmax = jnp.max(xg, axis=-1)                        # (B, G) cheap
+    _, gi = jax.lax.top_k(gmax, k)                         # (B, k) tiny
+    gi = jnp.sort(gi, axis=-1).astype(jnp.int32)
+    slab = jnp.take_along_axis(xg, gi[:, :, None], axis=1)  # (B, k, 128)
+    vals, sel = jax.lax.top_k(slab.reshape(B, k * 128), k)
+    cols = (gi[:, :, None] * 128
+            + jnp.arange(128, dtype=jnp.int32)[None, None, :]).reshape(B, -1)
+    idx = jnp.take_along_axis(cols, sel, axis=1)
+    return vals, idx
+
+
 def topk_2stage(x: jax.Array, k: int, groups: int = 16):
     """EXACT top-k over a wide minor axis (drop-in for ``jax.lax.top_k``).
 
-    The direct-vs-grouped ranking is CONTEXT-DEPENDENT on this chip and
-    was measured both ways in round 4 (same process, medians):
+    The formulation ranking is CONTEXT-DEPENDENT on this chip and was
+    measured in rounds 4-5 (same process, medians, in the REAL serving
+    scan — megakernel + epilogue + sampler under lax.scan,
+    tools/bench/bench_step32.py STEP_SAMPLER_AB=1):
 
-    - standalone jit, (32, 42384) k=64 (tools/bench/probe_sampler32.py):
-      direct 0.36 ms vs grouped 0.97/0.76 (groups=16/64) — direct 2.7x.
-    - inside the REAL serving scan (megakernel + epilogue + sampler under
-      lax.scan, tools/bench/bench_step32.py STEP_SAMPLER_AB=1): sampled
-      step 2.73 ms/step direct vs 2.26 grouped — grouped 0.47 ms/step
-      cheaper. XLA schedules the op differently against the surrounding
-      program; the scan context is what serving actually executes.
+    - round 4: direct 2.73 ms/step vs grouped-sort 2.26 (grouped 0.47
+      cheaper in-scan, though the standalone probe ranks direct 2.7x
+      faster — XLA schedules the op differently against the surrounding
+      program).
+    - round 5: ``topk_gather`` (group-max rank + slab gather, no full-
+      width sorting network) replaces the grouped-sort default.
 
-    Grouped is therefore the default; ``BIOGPT_TOPK=direct`` forces the
-    direct form for re-measurement. Both are exact including tie-breaking
-    (groups cover ascending index ranges and lax.top_k is index-stable,
-    so equal values resolve to the lowest global index).
+    ``BIOGPT_TOPK=direct|grouped|gather`` forces a form for
+    re-measurement. All are exact including tie-breaking (equal values
+    resolve to the lowest global index).
     """
     import os
 
     B, V = x.shape
-    if os.environ.get("BIOGPT_TOPK", "grouped") == "direct":
+    mode = os.environ.get("BIOGPT_TOPK", "gather")
+    if mode == "direct" or V < 128 * k * 2:
+        # small vocabs: grouping can't pay (and gather needs >= k groups)
         return jax.lax.top_k(x, k)
-    if V < groups * k * 4:       # small vocabs: grouping can't pay
-        return jax.lax.top_k(x, k)
+    if mode == "gather":
+        return topk_gather(x, k)
     # lane-align each group's width (a 2649-wide minor axis forces
     # relayouts that cost more than the grouping saves)
     W = -(-V // groups)
@@ -114,6 +156,10 @@ def sample_per_request(
     top_p: jax.Array,            # (B,) float32
     temp: jax.Array,             # (B,) float32; <= 0 means greedy for that row
     max_top_k: int = 64,
+    gmax: jax.Array | None = None,  # (B, ceil(V/128)) precomputed group
+                                 # maxima (the fused epilogue kernel emits
+                                 # them) — skips gather-top-k's stage-1
+                                 # full-width reduce
 ) -> jax.Array:
     """(B,) token ids with PER-REQUEST sampling parameters.
 
@@ -134,7 +180,11 @@ def sample_per_request(
     # scale; the 42k-wide selection is the sampler's dominant cost — see
     # topk_2stage) and scale only the survivors; temp <= 0 rows divide by
     # 1e-8 which is also monotone, and they take the argmax branch below
-    raw, top_ids = topk_2stage(logits.astype(jnp.float32), k_max)
+    if gmax is not None:
+        raw, top_ids = topk_gather(logits.astype(jnp.float32), k_max,
+                                   gmax=gmax)
+    else:
+        raw, top_ids = topk_2stage(logits.astype(jnp.float32), k_max)
     top_logits = raw / jnp.maximum(temp, 1e-8)
     rank = jnp.arange(k_max, dtype=jnp.int32)[None, :]
     in_k = rank < jnp.minimum(top_k, k_max)

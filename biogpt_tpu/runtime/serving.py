@@ -233,6 +233,17 @@ class BatchedEngine:
         self._fused_greedy = (
             self._fused_decode and isinstance(lm, _QT) and lm.packed
             and (_psup(lm, self.B) or _psup_wide(lm, self.B)))
+        # Sampled tail fusion (round 5): the per-request-sampling step
+        # (every live-intake serve, and all mixed traffic) runs final LN +
+        # lm_head + KV commit as ONE kernel that also emits the
+        # per-128-lane-group logit maxima — stage 1 of the exact
+        # gather-top-k sampler — so the step drops the standalone commit
+        # launch AND the sampler's full-width stage-1
+        # (ops/pallas_qmatmul.lm_head_logits_gmax_commit_pallas).
+        self._fused_sampled = (
+            self._fused_greedy and not self._paged_kv
+            and self.cache_dtype == jnp.bfloat16
+            and config.d_model % 128 == 0 and self.max_seq % 8 == 0)
 
         def refill_commit(params, ids, cache, last, src_row, mask, rng,
                           toks, lengths, first_buf, temps, top_ps, top_ks,
@@ -344,6 +355,26 @@ class BatchedEngine:
                     health_per_row=True, kv_groups=self._kv_groups)
                 health = jnp.logical_and(health,
                                          jnp.all(ok_rows | ~live))
+                out_buf = jax.lax.dynamic_update_slice(
+                    out_buf, nxt[None, :],
+                    (out_ix, jnp.zeros((), jnp.int32)))
+                return (nxt[:, None], cache, lengths + 1, rng, out_buf,
+                        out_ix + 1, health)
+            if use_fused and not all_greedy and self._fused_sampled:
+                # sampled tail fusion: LN + lm_head + commit in one
+                # kernel; logits come back PADDED (-1e30 pad cols) with
+                # their group maxima, health rides isfinite(gmax)
+                from ..models.biogpt import forward_fused_decode_sampled
+                logits, gmax, cache = forward_fused_decode_sampled(
+                    params, toks, cache, lengths, self.config,
+                    kv_window=kv_window, interpret=self._interpret,
+                    kv_groups=self._kv_groups)
+                health = jnp.logical_and(
+                    health, jnp.all(jnp.isfinite(gmax) | ~live[:, None]))
+                rng, sub = jax.random.split(rng)
+                nxt = sample_per_request(sub, logits, top_ks, top_ps,
+                                         temps, max_top_k=self.MAX_TOP_K,
+                                         gmax=gmax)
                 out_buf = jax.lax.dynamic_update_slice(
                     out_buf, nxt[None, :],
                     (out_ix, jnp.zeros((), jnp.int32)))

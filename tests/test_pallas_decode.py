@@ -365,6 +365,96 @@ def test_serving_fused_matches_per_op():
         assert fused[i].ids == plain[i].ids, i
 
 
+def test_serving_fused_sampled_matches_unfused_pallas():
+    """Sampled-tail fusion (LN+lm_head+gmax+commit kernel + gather-top-k
+    sampler): per-request-sampled serving is token-identical to the
+    UNFUSED pallas sampled path (megakernel + commit kernel + XLA LN +
+    lm_head kernel + full-width sampler), mixed greedy/sampled rows,
+    across refill waves. The per-op XLA oracle differs in low-bit
+    rounding (pallas-vs-XLA dequant order), so the in-family comparison
+    is the exact one; fused-vs-per-op coverage lives in the greedy and
+    grouped serving tests."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.runtime.serving import BatchedEngine, Request
+
+    sd = make_state_dict(CFG, seed=21)
+    params = params_from_state_dict(sd, CFG, qtype=codecs.GGML_TYPE_Q4_0)
+    rng = np.random.RandomState(2)
+    prompts = [[2] + rng.randint(3, CFG.n_vocab, size=n).tolist()
+               for n in (3, 9, 2, 14, 5)]
+
+    def make_reqs():
+        return [Request(prompt_ids=p, n_predict=4, request_id=i,
+                        temp=0.0 if i % 3 == 0 else 0.8, top_k=12,
+                        top_p=0.9)
+                for i, p in enumerate(prompts)]
+
+    gen = GenerationParams(temp=0.8, top_k=12, top_p=0.9,
+                           stop_at_eos=False, seed=5)
+
+    be = BatchedEngine(CFG, params, max_batch=4, chunk=2,
+                       compute_dtype=jnp.bfloat16, max_seq=32)
+    assert be._fused_sampled
+    try:
+        set_pallas_mode(True)   # CPU: run kernels in interpret mode
+        fused = be.serve(make_reqs(), gen)
+        be._fused_sampled = False
+        plain = be.serve(make_reqs(), gen)
+    finally:
+        set_pallas_mode("auto")
+        be._fused_sampled = True
+    for i in range(len(prompts)):
+        assert fused[i].ids == plain[i].ids, i
+
+
+def test_logits_gmax_commit_kernel_matches_unfused():
+    """The fused sampled-epilogue kernel's logits equal LN+wide-lm_head,
+    gmax equals the 128-lane group maxima, and the commit lands each
+    slot's rows at its own position."""
+    import jax
+
+    from biogpt_tpu.models.biogpt import _layer_norm
+    from biogpt_tpu.ops.pallas_qmatmul import (
+        lm_head_logits_gmax_commit_pallas, qmatmul_pallas_wide)
+
+    params = _packed_params(codecs.GGML_TYPE_Q4_0)
+    lm = params["lm_head"]
+    B, D = 12, CFG.d_model
+    L = CFG.n_layer
+    S = 24
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(B, D), jnp.float32)
+    kc = jnp.asarray(rng.randn(L, B, S, D), jnp.bfloat16)
+    vc = jnp.asarray(rng.randn(L, B, S, D), jnp.bfloat16)
+    krt = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    vrt = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    past = jnp.asarray(rng.randint(0, S, size=B), jnp.int32)
+
+    logits, gmax, kc2, vc2 = lm_head_logits_gmax_commit_pallas(
+        x, params["final_ln"]["w"], params["final_ln"]["b"], lm,
+        CFG.n_vocab, kc, vc, krt, vrt, past, ln_eps=CFG.ln_eps,
+        interpret=True)
+
+    xn = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
+                     CFG.ln_eps)
+    expect = np.asarray(qmatmul_pallas_wide(xn, lm, interpret=True))
+    got = np.asarray(logits)
+    n_valid = CFG.n_vocab
+    np.testing.assert_allclose(got[:, :n_valid], expect[:, :n_valid],
+                               rtol=2e-5, atol=2e-5)
+    assert (got[:, n_valid:] == -1e30).all()
+    G = got.shape[1] // 128
+    np.testing.assert_array_equal(
+        np.asarray(gmax), got.reshape(B, G, 128).max(-1))
+    # commit: each slot's row at its own position, everything else intact
+    kc_np = np.asarray(kc, np.float32).copy()
+    for b in range(B):
+        kc_np[:, b, int(past[b])] = np.asarray(krt, np.float32)[b]
+    np.testing.assert_allclose(np.asarray(kc2, np.float32), kc_np,
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_serving_grouped_kv_matches_per_op():
     """BatchedEngine e2e with group-clamped KV streaming + length-affinity
     slot assignment (kv_groups=2 over 4 slots): token-identical to the

@@ -187,14 +187,32 @@ print(f"scatter vs per-slot DUS: {1e3*(f-a):+.3f} vs {1e3*(b-a):+.3f} "
       f"ms/step", flush=True)
 
 
+def scan_sampled_fused(toks, cache, past, rng, temps, top_ps, top_ks):
+    """Round-5 sampled tail fusion: LN+lm_head+gmax+commit in ONE kernel,
+    sampler consumes the kernel's group maxima (gather-top-k stage 1)."""
+    from biogpt_tpu.models.biogpt import forward_fused_decode_sampled
+
+    def body(carry, _):
+        toks, cache, past, rng, health = carry
+        logits, gmax, cache = forward_fused_decode_sampled(
+            params, toks, cache, past, config, kv_window=W)
+        health = health & jnp.all(jnp.isfinite(gmax))
+        rng, sub = jax.random.split(rng)
+        nxt = sample_per_request(sub, logits, top_ks, top_ps, temps,
+                                 max_top_k=64, gmax=gmax)
+        return (nxt[:, None], cache, past + 1, rng, health), None
+    (toks, cache, past, rng, health), _ = jax.lax.scan(
+        body, (toks, cache, past, rng, jnp.bool_(True)), None, length=STEPS)
+    return toks, cache, health
+
+
 def scan_sampled_alt(toks, cache, past, rng, temps, top_ps, top_ks):
     # sample_per_request is itself jitted and its cached trace would
     # otherwise ignore the env flip; flips to whichever top-k formulation
-    # is NOT the current default (grouped is the default since the round-4
-    # in-scan A/B inverted the standalone probe's ranking)
+    # is NOT the current default (gather is the default since round 5)
     sample_per_request.clear_cache()
-    alt = "direct" if _os.environ.get("BIOGPT_TOPK", "grouped") != "direct" \
-        else "grouped"
+    alt = "grouped" if _os.environ.get("BIOGPT_TOPK", "gather") != "grouped" \
+        else "gather"
     _os.environ["BIOGPT_TOPK"] = alt
     try:
         return scan_sampled(toks, cache, past, rng, temps, top_ps, top_ks)
@@ -215,6 +233,11 @@ if _os.environ.get("STEP_SAMPLER_AB", "0") == "1":
                (toks, cache, past, rng, temps, top_ps, top_ks))
     print(f"default {1e3*g1:.3f}/{1e3*g3:.3f} vs alt {1e3*g2:.3f} "
           f"ms/step (same process)", flush=True)
+
+h = bench("sampled (fused tail)", scan_sampled_fused,
+          (toks, cache, past, rng, temps, top_ps, top_ks))
+print(f"sampled fused tail vs unfused: {1e3*h:.3f} vs {1e3*e:.3f} ms/step "
+      f"({1e3*(e-h):+.3f})", flush=True)
 
 
 def scan_kernel_commit(x0, k, v, past):
