@@ -93,7 +93,8 @@ def supports_layers_tp(layers: dict, tp: int, batch: int) -> bool:
 
 
 def _make_attn_kernel_tp(names, *, B, Dfull, Dloc, Hloc, KVB, eps, offset,
-                         packed, five_bit, has_mins):
+                         packed, five_bit, has_mins, kv_quant=False,
+                         ext_qkv=False):
     """Attention half: LN0 + local qkv + local-head attention + partial o.
 
     Same per-slot online-softmax structure as
@@ -101,6 +102,19 @@ def _make_attn_kernel_tp(names, *, B, Dfull, Dloc, Hloc, KVB, eps, offset,
     (Hloc = n_head/tp heads, Dloc = d_model/tp cache columns); the o
     projection emits the shard's PARTIAL (B, Dfull) contribution (the
     caller psums and adds the replicated bias).
+
+    ``kv_quant``: int8 cache blocks — per-row dequant scales fold into
+    the score columns / attention weights exactly as in the single-device
+    kernel (pallas_decode._make_kernel_batched).
+
+    ``ext_qkv``: the current token's q / (dequantized) k / v arrive as
+    kernel INPUTS instead of being projected in-kernel, and the raw-row
+    outputs are dropped. Required by int8-KV under TP: the row scale is
+    the FULL-row absmax, which needs a pmax over the model axis —
+    a collective, impossible inside a kernel — so the caller runs the
+    qkv projection as its own kernel, quantizes with the pmax-completed
+    scale (bit-identical to the per-op path's cache contents), and feeds
+    the dequantized rows back in.
     """
     Dk = Dloc // Hloc
     scale = 1.0 / math.sqrt(Dk)
@@ -110,8 +124,12 @@ def _make_attn_kernel_tp(names, *, B, Dfull, Dloc, Hloc, KVB, eps, offset,
         del li_ref   # consumed by the BlockSpec index maps only
         r = dict(zip(names, refs))
         n_in = len(names)
-        apart_ref, krow_ref, vrow_ref = refs[n_in:n_in + 3]
-        qbd, kcur, vcur, msc, lsc, accsc = refs[n_in + 3:]
+        if ext_qkv:
+            apart_ref = refs[n_in]
+            qbd, kcur, vcur, msc, lsc, accsc = refs[n_in + 1:]
+        else:
+            apart_ref, krow_ref, vrow_ref = refs[n_in:n_in + 3]
+            qbd, kcur, vcur, msc, lsc, accsc = refs[n_in + 3:]
 
         j = pl.program_id(0)
         nW = pl.num_programs(0)
@@ -131,18 +149,23 @@ def _make_attn_kernel_tp(names, *, B, Dfull, Dloc, Hloc, KVB, eps, offset,
 
         @pl.when(j == 0)
         def _start():
-            h = _ln(r["x"][:], vec("ln0w"), vec("ln0b"), eps)   # (B, Dfull)
-            qkv = _qmm_dq(h.astype(jnp.bfloat16), r["qkv_lv"], r["qkv_sc"],
-                          mn("qkv"), offset=offset, packed=packed,
-                          five_bit=five_bit)
-            qkv = qkv + vec("qkv_b").astype(jnp.float32)  # local (q|k|v)_s
-            q = qkv[:, :Dloc] * scale
-            k = qkv[:, Dloc:2 * Dloc]
-            v = qkv[:, 2 * Dloc:]
-            krow_ref[:] = k.astype(krow_ref.dtype)
-            vrow_ref[:] = v.astype(vrow_ref.dtype)
-            kcur[:] = k
-            vcur[:] = v
+            if ext_qkv:
+                q = r["q"][:].astype(jnp.float32)   # pre-scaled by caller
+                kcur[:] = r["kdq"][:].astype(jnp.float32)
+                vcur[:] = r["vdq"][:].astype(jnp.float32)
+            else:
+                h = _ln(r["x"][:], vec("ln0w"), vec("ln0b"), eps)  # (B, Dfull)
+                qkv = _qmm_dq(h.astype(jnp.bfloat16), r["qkv_lv"],
+                              r["qkv_sc"], mn("qkv"), offset=offset,
+                              packed=packed, five_bit=five_bit)
+                qkv = qkv + vec("qkv_b").astype(jnp.float32)  # (q|k|v)_s
+                q = qkv[:, :Dloc] * scale
+                k = qkv[:, Dloc:2 * Dloc]
+                v = qkv[:, 2 * Dloc:]
+                krow_ref[:] = k.astype(krow_ref.dtype)
+                vrow_ref[:] = v.astype(vrow_ref.dtype)
+                kcur[:] = k
+                vcur[:] = v
             q_rep = jnp.dot(rep, q, preferred_element_type=jnp.float32)
             qbd[:] = hm_t * q_rep.astype(jnp.bfloat16)
             msc[:] = jnp.full_like(msc, -1e30)
@@ -150,11 +173,20 @@ def _make_attn_kernel_tp(names, *, B, Dfull, Dloc, Hloc, KVB, eps, offset,
             accsc[:] = jnp.zeros_like(accsc)
 
         # ---- one KV block: per-slot scores + shared softmax accumulation
+        def kblk_of(b):
+            blk = r["kcache"][0, b]
+            return blk.astype(jnp.bfloat16) if kv_quant else blk
+
         scores = jnp.concatenate(
             [jax.lax.dot_general(qbd[b * Hloc:(b + 1) * Hloc, :],
-                                 r["kcache"][0, b], _NT,
+                                 kblk_of(b), _NT,
                                  preferred_element_type=jnp.float32)
              for b in range(B)], axis=0)                  # (BH, KVB)
+        if kv_quant:
+            # per-slot (1, KVB) K scales, repeated to the slot's Hloc rows
+            scores = scores * jnp.concatenate(
+                [jnp.broadcast_to(r["kcache_s"][0, b], (Hloc, KVB))
+                 for b in range(B)], axis=0)
         idx = jax.lax.broadcasted_iota(jnp.int32, (BH, KVB), 1) + j * KVB
         past_col = jnp.concatenate(
             [jnp.full((Hloc, 1), r["past"][0, b], jnp.int32)
@@ -166,10 +198,18 @@ def _make_attn_kernel_tp(names, *, B, Dfull, Dloc, Hloc, KVB, eps, offset,
         p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         lsc[:] = lsc[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        def pv_of(b):
+            pb = p[b * Hloc:(b + 1) * Hloc, :]
+            if kv_quant:
+                pb = pb * r["vcache_s"][0, b]
+            vb = r["vcache"][0, b]
+            return jnp.dot(pb.astype(jnp.bfloat16),
+                           vb.astype(jnp.bfloat16) if kv_quant else vb,
+                           preferred_element_type=jnp.float32)
+
         accsc[:] = accsc[:] * alpha + jnp.concatenate(
-            [jnp.dot(p[b * Hloc:(b + 1) * Hloc, :].astype(jnp.bfloat16),
-                     r["vcache"][0, b], preferred_element_type=jnp.float32)
-             for b in range(B)], axis=0)
+            [pv_of(b) for b in range(B)], axis=0)
         msc[:] = m_new
 
         @pl.when(j == nW - 1)
@@ -193,6 +233,34 @@ def _make_attn_kernel_tp(names, *, B, Dfull, Dloc, Hloc, KVB, eps, offset,
             apart_ref[:] = _qmm_dq(
                 ctx_flat.astype(jnp.bfloat16), r["o_lv"], r["o_sc"],
                 mn("o"), offset=offset, packed=packed, five_bit=five_bit)
+
+    return kernel
+
+
+def _make_qkv_kernel_tp(names, *, eps, offset, packed, five_bit, has_mins):
+    """LN0 + local fused qkv projection (bias included), one grid step.
+
+    The int8-KV TP path runs this as its own kernel so the caller can
+    quantize the new K/V rows with the pmax-completed full-row absmax
+    between this and the attention kernel (see _make_attn_kernel_tp
+    ``ext_qkv``)."""
+
+    def kernel(li_ref, *refs):
+        del li_ref
+        r = dict(zip(names, refs))
+        out_ref = refs[len(names)]
+
+        def mn(name):
+            return r[name + "_mn"] if has_mins else None
+
+        def vec(name):
+            return r[name][0]
+
+        h = _ln(r["x"][:], vec("ln0w"), vec("ln0b"), eps)
+        qkv = _qmm_dq(h.astype(jnp.bfloat16), r["qkv_lv"], r["qkv_sc"],
+                      mn("qkv"), offset=offset, packed=packed,
+                      five_bit=five_bit)
+        out_ref[:] = qkv + vec("qkv_b").astype(jnp.float32)
 
     return kernel
 
@@ -237,6 +305,9 @@ def decode_step_fused_tp(
     ln_eps: float = 1e-5,
     interpret: bool = False,
     kv_block: int | None = None,
+    k_scales: jax.Array | None = None,  # (L, B, 1, S) f32: int8-KV mode
+    v_scales: jax.Array | None = None,  # (levels shard Dloc, scales
+                                        # replicate — runtime.cache)
 ):
     """One full TP decode step (see module docstring).
 
@@ -244,6 +315,14 @@ def decode_step_fused_tp(
     ``(x_final (B, Dfull) f32 — replicated across shards,
     k_rows (L, B, Dloc), v_rows (L, B, Dloc) in cache dtype)``; the caller
     writes each slot's rows at its own position into the LOCAL cache shard.
+
+    int8-KV mode (``k_scales`` given): each layer runs THREE kernels —
+    LN0+qkv, then the attention half consuming externally-quantized
+    current rows, then the FFN half — because the row scale is the
+    FULL-row absmax (a pmax over ``tp_axis``, impossible in-kernel).
+    Quantization matches runtime.cache.quantize_rows bit-for-bit, so the
+    sharded int8 cache stays identical to the per-op TP path's. Returns
+    ``(x_final, kq (L, B, Dloc) int8, vq, ksc (L, B) f32, vsc)``.
     """
     L, B, S, Dloc = k_cache.shape
     Dfull = x0.shape[-1]
@@ -301,59 +380,129 @@ def decode_step_fused_tp(
         return pl.BlockSpec(shape, (lambda *ix: (0,) * len(shape)),
                             memory_space=pltpu.VMEM)
 
-    # ---- kernel A: attention half (grid over KV blocks)
-    namesA = ["past", "x", "ln0w", "ln0b"]
-    in_specsA = [pl.BlockSpec((1, B), (lambda *ix: (0, 0)),
-                              memory_space=pltpu.SMEM),
-                 const_spec((B, Dfull)),
-                 per_layer_spec((1, Dfull)), per_layer_spec((1, Dfull))]
-    staticA = [as_rows(layers["ln0"]["w"]), as_rows(layers["ln0"]["b"])]
-    namesA, staticA, in_specsA = build(
-        namesA, staticA, in_specsA, [("qkv", True), ("o", False)])
-    namesA += ["kcache", "vcache"]
-    staticA += [k_cache, v_cache]
+    kv_quant = k_scales is not None
+    BH = B * Hloc
+    attn_scratch = [
+        pltpu.VMEM((BH, Dloc), jnp.bfloat16),   # qbd
+        pltpu.VMEM((B, Dloc), jnp.float32),     # kcur
+        pltpu.VMEM((B, Dloc), jnp.float32),     # vcur
+        pltpu.VMEM((BH, 1), jnp.float32),       # msc
+        pltpu.VMEM((BH, 1), jnp.float32),       # lsc
+        pltpu.VMEM((BH, Dloc), jnp.float32),    # accsc
+    ]
     kv_spec = pl.BlockSpec((1, B, KVB, Dloc),
                            (lambda j, li: (li[0], 0, j, 0)),
                            memory_space=pltpu.VMEM)
-    in_specsA += [kv_spec, kv_spec]
 
-    kernelA = _make_attn_kernel_tp(
-        namesA, B=B, Dfull=Dfull, Dloc=Dloc, Hloc=Hloc, KVB=KVB, eps=ln_eps,
-        offset=offset, packed=packed, five_bit=five_bit, has_mins=has_mins)
-    BH = B * Hloc
-    grid_specA = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nW,),
-        in_specs=in_specsA,
-        out_specs=[
-            pl.BlockSpec((B, Dfull), (lambda j, li: (0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, Dloc), (lambda j, li: (0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, Dloc), (lambda j, li: (0, 0)),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((BH, Dloc), jnp.bfloat16),   # qbd
-            pltpu.VMEM((B, Dloc), jnp.float32),     # kcur
-            pltpu.VMEM((B, Dloc), jnp.float32),     # vcur
-            pltpu.VMEM((BH, 1), jnp.float32),       # msc
-            pltpu.VMEM((BH, 1), jnp.float32),       # lsc
-            pltpu.VMEM((BH, Dloc), jnp.float32),    # accsc
-        ],
-    )
-    attn_call = pl.pallas_call(
-        kernelA,
-        grid_spec=grid_specA,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Dfull), jnp.float32),
-            jax.ShapeDtypeStruct((B, Dloc), k_cache.dtype),
-            jax.ShapeDtypeStruct((B, Dloc), k_cache.dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
+    # ---- kernel A: attention half (grid over KV blocks)
+    if kv_quant:
+        # ext_qkv form: q/kdq/vdq are data inputs (quantized between the
+        # qkv kernel and this one); cache blocks are int8 + scale planes
+        namesA = ["past", "q", "kdq", "vdq"]
+        in_specsA = [pl.BlockSpec((1, B), (lambda *ix: (0, 0)),
+                                  memory_space=pltpu.SMEM),
+                     const_spec((B, Dloc)), const_spec((B, Dloc)),
+                     const_spec((B, Dloc))]
+        staticA = []
+        namesA, staticA, in_specsA = build(
+            namesA, staticA, in_specsA, [("o", False)])
+        namesA += ["kcache", "vcache", "kcache_s", "vcache_s"]
+        staticA += [k_cache, v_cache, k_scales, v_scales]
+        s_spec = pl.BlockSpec((1, B, 1, KVB),
+                              (lambda j, li: (li[0], 0, 0, j)),
+                              memory_space=pltpu.VMEM)
+        in_specsA += [kv_spec, kv_spec, s_spec, s_spec]
+
+        kernelA = _make_attn_kernel_tp(
+            namesA, B=B, Dfull=Dfull, Dloc=Dloc, Hloc=Hloc, KVB=KVB,
+            eps=ln_eps, offset=offset, packed=packed, five_bit=five_bit,
+            has_mins=has_mins, kv_quant=True, ext_qkv=True)
+        grid_specA = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nW,),
+            in_specs=in_specsA,
+            out_specs=[pl.BlockSpec((B, Dfull), (lambda j, li: (0, 0)),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=attn_scratch,
+        )
+        attn_call = pl.pallas_call(
+            kernelA,
+            grid_spec=grid_specA,
+            out_shape=[jax.ShapeDtypeStruct((B, Dfull), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+        # LN0 + qkv as its own kernel (see _make_qkv_kernel_tp)
+        namesQ = ["x", "ln0w", "ln0b"]
+        in_specsQ = [const_spec((B, Dfull)),
+                     per_layer_spec((1, Dfull)), per_layer_spec((1, Dfull))]
+        staticQ = [as_rows(layers["ln0"]["w"]), as_rows(layers["ln0"]["b"])]
+        namesQ, staticQ, in_specsQ = build(
+            namesQ, staticQ, in_specsQ, [("qkv", True)])
+        kernelQ = _make_qkv_kernel_tp(
+            namesQ, eps=ln_eps, offset=offset, packed=packed,
+            five_bit=five_bit, has_mins=has_mins)
+        grid_specQ = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=in_specsQ,
+            out_specs=[pl.BlockSpec((B, 3 * Dloc), (lambda i, li: (0, 0)),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[],
+        )
+        qkv_call = pl.pallas_call(
+            kernelQ,
+            grid_spec=grid_specQ,
+            out_shape=[jax.ShapeDtypeStruct((B, 3 * Dloc), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+    else:
+        namesA = ["past", "x", "ln0w", "ln0b"]
+        in_specsA = [pl.BlockSpec((1, B), (lambda *ix: (0, 0)),
+                                  memory_space=pltpu.SMEM),
+                     const_spec((B, Dfull)),
+                     per_layer_spec((1, Dfull)), per_layer_spec((1, Dfull))]
+        staticA = [as_rows(layers["ln0"]["w"]), as_rows(layers["ln0"]["b"])]
+        namesA, staticA, in_specsA = build(
+            namesA, staticA, in_specsA, [("qkv", True), ("o", False)])
+        namesA += ["kcache", "vcache"]
+        staticA += [k_cache, v_cache]
+        in_specsA += [kv_spec, kv_spec]
+
+        kernelA = _make_attn_kernel_tp(
+            namesA, B=B, Dfull=Dfull, Dloc=Dloc, Hloc=Hloc, KVB=KVB,
+            eps=ln_eps, offset=offset, packed=packed, five_bit=five_bit,
+            has_mins=has_mins)
+        grid_specA = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nW,),
+            in_specs=in_specsA,
+            out_specs=[
+                pl.BlockSpec((B, Dfull), (lambda j, li: (0, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, Dloc), (lambda j, li: (0, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, Dloc), (lambda j, li: (0, 0)),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=attn_scratch,
+        )
+        attn_call = pl.pallas_call(
+            kernelA,
+            grid_spec=grid_specA,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Dfull), jnp.float32),
+                jax.ShapeDtypeStruct((B, Dloc), k_cache.dtype),
+                jax.ShapeDtypeStruct((B, Dloc), k_cache.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
 
     # ---- kernel B: FFN half (single grid step)
     namesB = ["x", "ln1w", "ln1b"]
@@ -385,6 +534,34 @@ def decode_step_fused_tp(
 
     o_b = jnp.asarray(layers["o"]["b"])
     fc2_b = jnp.asarray(layers["fc2"]["b"])
+    qscale = 1.0 / math.sqrt(Dloc // Hloc)
+
+    if kv_quant:
+        from ..runtime.cache import quantize_rows
+
+        def body(x, li):
+            li1 = li[None]
+            (qkv,) = qkv_call(li1, x, *staticQ)
+            q = qkv[:, :Dloc] * qscale
+            k = qkv[:, Dloc:2 * Dloc]
+            v = qkv[:, 2 * Dloc:]
+            # full-row absmax scale via pmax — bit-identical to the
+            # per-op TP path's cache contents (runtime.cache)
+            kq, ksc = quantize_rows(k, tp_axis)
+            vq, vsc = quantize_rows(v, tp_axis)
+            kdq = kq.astype(jnp.float32) * ksc[:, None]
+            vdq = vq.astype(jnp.float32) * vsc[:, None]
+            (apart,) = attn_call(li1, past_row, q, kdq, vdq, *staticA)
+            attn = jax.lax.psum(apart, tp_axis)
+            x = x + attn + o_b[li].astype(jnp.float32)
+            (fpart,) = ffn_call(li1, x, *staticB)
+            ffn = jax.lax.psum(fpart, tp_axis)
+            x = x + ffn + fc2_b[li].astype(jnp.float32)
+            return x, (kq, vq, ksc, vsc)
+
+        x_fin, (kq_rows, vq_rows, ks_rows, vs_rows) = jax.lax.scan(
+            body, x0.astype(jnp.float32), jnp.arange(L, dtype=jnp.int32))
+        return x_fin, kq_rows, vq_rows, ks_rows, vs_rows
 
     def body(x, li):
         li1 = li[None]

@@ -297,8 +297,8 @@ def make_tp_forward(mesh: Mesh, seq_parallel: bool = True,
         use_fused = (
             fused_on and N == 1 and causal and logits_mode == "last"
             and last_index is None and kv_window is not None
-            and not isinstance(cache, QuantKVCache)
-            and cache.k.dtype == jnp.bfloat16
+            and (isinstance(cache, QuantKVCache)    # int8-KV (round 5)
+                 or cache.k.dtype == jnp.bfloat16)
             and supports_layers_tp(params.get("layers", {}), tp,
                                    batch=B // (dp if dspec else 1)))
 
@@ -352,33 +352,69 @@ def _fused_decode_body(params, tokens, cache, past, config: BioGptConfig,
     pos_emb = embedding_lookup(pos, params["embed_positions"])
     x0 = (emb + pos_emb).reshape(B, D)
 
-    x, k_rows, v_rows = decode_step_fused_tp(
-        x0, params["layers"], cache.k, cache.v, past_vec,
-        n_head=config.n_head, tp_size=tp, tp_axis=MODEL_AXIS,
-        window=kv_window, ln_eps=config.ln_eps, interpret=interpret)
-
     L = cache.k.shape[0]
     Dloc = cache.k.shape[-1]
-    if B > 1 and Dloc % 128 == 0:
-        # same aligned-RMW commit kernel as the single-device fused path
-        # (2·B dynamic_update_slices are serially-chained op launches)
-        from ..ops.pallas_decode import kv_commit_pallas
-        k_new, v_new = kv_commit_pallas(
-            cache.k, cache.v, jnp.transpose(k_rows, (1, 0, 2)),
-            jnp.transpose(v_rows, (1, 0, 2)), past_vec,
-            interpret=interpret)
+    S = cache.k.shape[2]
+    zero = jnp.zeros((), jnp.int32)
+    if isinstance(cache, QuantKVCache):
+        # int8-KV fused TP (round 5): the kernel returns pre-quantized
+        # rows (pmax-completed full-row scales — bit-identical cache
+        # contents to the per-op TP path)
+        x, kq, vq, ksc, vsc = decode_step_fused_tp(
+            x0, params["layers"], cache.k, cache.v, past_vec,
+            n_head=config.n_head, tp_size=tp, tp_axis=MODEL_AXIS,
+            window=kv_window, ln_eps=config.ln_eps, interpret=interpret,
+            k_scales=cache.ks, v_scales=cache.vs)
+        k_new, v_new, ks_new, vs_new = cache
+        if B > 1 and Dloc % 128 == 0 and S % 128 == 0:
+            # same aligned-RMW commit kernel as the single-device int8
+            # fused path, on the LOCAL level shard + replicated planes
+            from ..ops.pallas_decode import kv_commit_quant_pallas
+            k_new, v_new, ks_new, vs_new = kv_commit_quant_pallas(
+                k_new, v_new, ks_new, vs_new,
+                jnp.transpose(kq, (1, 0, 2)), jnp.transpose(vq, (1, 0, 2)),
+                jnp.transpose(ksc, (1, 0))[..., None],
+                jnp.transpose(vsc, (1, 0))[..., None],
+                past_vec, interpret=interpret)
+        else:
+            for b in range(B):
+                idx = (zero, jnp.int32(b), past_vec[b], zero)
+                sidx = (zero, jnp.int32(b), zero, past_vec[b])
+                k_new = jax.lax.dynamic_update_slice(
+                    k_new, kq[:, b].reshape(L, 1, 1, Dloc), idx)
+                v_new = jax.lax.dynamic_update_slice(
+                    v_new, vq[:, b].reshape(L, 1, 1, Dloc), idx)
+                ks_new = jax.lax.dynamic_update_slice(
+                    ks_new, ksc[:, b].reshape(L, 1, 1, 1), sidx)
+                vs_new = jax.lax.dynamic_update_slice(
+                    vs_new, vsc[:, b].reshape(L, 1, 1, 1), sidx)
+        cache = QuantKVCache(k=k_new, v=v_new, ks=ks_new, vs=vs_new)
     else:
-        zero = jnp.zeros((), jnp.int32)
-        k_new, v_new = cache.k, cache.v
-        for b in range(B):
-            idx = (zero, jnp.int32(b), past_vec[b], zero)
-            k_new = jax.lax.dynamic_update_slice(
-                k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
-                    k_new.dtype), idx)
-            v_new = jax.lax.dynamic_update_slice(
-                v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
-                    v_new.dtype), idx)
-    cache = KVCache(k=k_new, v=v_new)
+        x, k_rows, v_rows = decode_step_fused_tp(
+            x0, params["layers"], cache.k, cache.v, past_vec,
+            n_head=config.n_head, tp_size=tp, tp_axis=MODEL_AXIS,
+            window=kv_window, ln_eps=config.ln_eps, interpret=interpret)
+
+        if B > 1 and Dloc % 128 == 0:
+            # same aligned-RMW commit kernel as the single-device fused
+            # path (2·B dynamic_update_slices are serially-chained op
+            # launches)
+            from ..ops.pallas_decode import kv_commit_pallas
+            k_new, v_new = kv_commit_pallas(
+                cache.k, cache.v, jnp.transpose(k_rows, (1, 0, 2)),
+                jnp.transpose(v_rows, (1, 0, 2)), past_vec,
+                interpret=interpret)
+        else:
+            k_new, v_new = cache.k, cache.v
+            for b in range(B):
+                idx = (zero, jnp.int32(b), past_vec[b], zero)
+                k_new = jax.lax.dynamic_update_slice(
+                    k_new, k_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
+                        k_new.dtype), idx)
+                v_new = jax.lax.dynamic_update_slice(
+                    v_new, v_rows[:, b:b + 1].reshape(L, 1, 1, Dloc).astype(
+                        v_new.dtype), idx)
+        cache = KVCache(k=k_new, v=v_new)
 
     x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
                     config.ln_eps)

@@ -174,7 +174,7 @@ class Engine:
                 # route through the per-layer kernel halves + Megatron
                 # psums (ops/pallas_decode_tp.py); prefill stays per-op.
                 # Needs a bf16 cache — forced below.
-                self._tp_fused = tp_fused_decode and not kv_quant
+                self._tp_fused = tp_fused_decode   # incl. int8 KV (round 5)
                 self._tp_fwd = make_tp_forward(
                     mesh, fused_decode=self._tp_fused)
         # Default ON: the block-structured Pallas kernel measures ~2.5x

@@ -134,7 +134,7 @@ class BatchedEngine:
                 # + Megatron psums (ops/pallas_decode_tp.py); refill
                 # prefills keep the per-op sequence-parallel path. Needs a
                 # bf16 cache — forced below.
-                self._tp_fused = tp_fused_decode and not kv_quant
+                self._tp_fused = tp_fused_decode   # incl. int8 KV (round 5)
                 self._fwd = make_tp_forward(
                     mesh, fused_decode=self._tp_fused)
                 self._tp = True

@@ -401,3 +401,76 @@ def test_tp_fused_engine_generate_matches(tp_params_q4):
     finally:
         set_pallas_mode("auto")
     assert got == base
+
+
+def test_tp_fused_decode_step_int8_matches_per_op(tp_params_q4):
+    """int8-KV TP megakernel (round 5): the 3-kernel layer (qkv kernel,
+    pmax-exact row quantization in XLA, ext-qkv attention kernel, FFN
+    kernel) matches the per-op int8 TP path — same logits winners, and
+    the written cache row dequantizes to the same values (quantize_rows
+    with pmax is the shared contract; exact level identity cannot hold
+    because the qkv KERNEL's low-bit numerics differ from the per-op
+    projection it replaces)."""
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+    from biogpt_tpu.parallel.tp import (make_tp_forward, pack_params_tp,
+                                        shard_params_tp)
+    from biogpt_tpu.runtime.cache import init_cache
+
+    mesh = make_mesh(1, 4)
+    tpp = shard_params_tp(pack_params_tp(tp_params_q4, 4), mesh)
+    per_op = make_tp_forward(mesh)
+    ids = np.random.RandomState(3).randint(3, 299, size=(2, 6)).astype(
+        np.int32)
+    cache0 = init_cache(TPCFG, batch=2, max_len=32, dtype=jnp.int8)
+    _, cache_pre = per_op(tpp, jnp.asarray(ids), cache0, jnp.int32(0),
+                          TPCFG, compute_dtype=jnp.bfloat16,
+                          logits_mode="last", allow_pallas=False,
+                          kv_window=32)
+    tok = jnp.asarray([[7], [12]], jnp.int32)
+    base, cache_b = per_op(tpp, tok, cache_pre, jnp.int32(6), TPCFG,
+                           compute_dtype=jnp.bfloat16, logits_mode="last",
+                           allow_pallas=False, kv_window=32)
+    try:
+        set_pallas_mode(True)   # CPU: kernels run in interpret mode
+        fused_fwd = make_tp_forward(mesh, fused_decode=True)
+        got, cache_f = fused_fwd(tpp, tok, cache_pre, jnp.int32(6), TPCFG,
+                                 compute_dtype=jnp.bfloat16,
+                                 logits_mode="last", allow_pallas=False,
+                                 kv_window=32)
+    finally:
+        set_pallas_mode("auto")
+    base, got = np.asarray(base, np.float32), np.asarray(got, np.float32)
+    assert (got.argmax(-1) == base.argmax(-1)).all()
+    np.testing.assert_allclose(got, base, rtol=5e-2, atol=0.35)
+    # the written row (position 6): dequantized values match
+    def row(c, t):
+        lv = np.asarray(getattr(c, t)[:, :, 6], np.float32)
+        sc = np.asarray(getattr(c, t + "s")[:, :, 0, 6], np.float32)
+        return lv * sc[:, :, None]
+
+    np.testing.assert_allclose(row(cache_f, "k"), row(cache_b, "k"),
+                               rtol=2e-2, atol=0.1)
+    np.testing.assert_allclose(row(cache_f, "v"), row(cache_b, "v"),
+                               rtol=2e-2, atol=0.1)
+
+
+def test_tp_fused_engine_generate_int8_matches(tp_params_q4):
+    """Engine e2e: greedy generation through the int8-KV TP megakernel
+    equals the per-op int8 TP path token-for-token."""
+    from biogpt_tpu.config import GenerationParams
+    from biogpt_tpu.ops.qmatmul import set_pallas_mode
+
+    gen = GenerationParams(n_predict=6, temp=0.0, stop_at_eos=False)
+    prompt = [2, 10, 25, 48]
+    mesh = make_mesh(1, 4)
+    base = Engine(TPCFG, tp_params_q4, compute_dtype=jnp.bfloat16,
+                  mesh=mesh, kv_quant=True).generate(prompt, gen).ids
+    try:
+        set_pallas_mode(True)   # CPU: kernels run in interpret mode
+        par = Engine(TPCFG, tp_params_q4, compute_dtype=jnp.bfloat16,
+                     mesh=mesh, kv_quant=True, tp_fused_decode=True)
+        assert par._tp_fused
+        got = par.generate(prompt, gen).ids
+    finally:
+        set_pallas_mode("auto")
+    assert got == base
