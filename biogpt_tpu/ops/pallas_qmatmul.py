@@ -538,9 +538,30 @@ def _logits_gmax_commit_kernel(past_ref, x_ref, lnw_ref, lnb_ref, lv_ref,
     col = j * T + jax.lax.broadcasted_iota(jnp.int32, (M, T), 1)
     logits = jnp.where(col < n_valid, logits, -1e30)
     out_ref[:, :] = logits
-    gmax_ref[:, :] = jnp.concatenate(
+
+    # gmax accumulates in the FULL (M, Gpad) output block (constant index
+    # map -> the block persists in VMEM across the sequential grid and
+    # flushes once; Mosaic rejects narrow per-tile blocks). This tile's
+    # T/128 group maxes land in their lanes via a one-hot MXU dot +
+    # masked select — full-width ops only, no dynamic-lane stores.
+    Gt = T // 128
+    Gpad = gmax_ref.shape[1]
+    tile_vals = jnp.concatenate(
         [jnp.max(logits[:, p * 128:(p + 1) * 128], axis=1, keepdims=True)
-         for p in range(T // 128)], axis=1)
+         for p in range(Gt)], axis=1)                   # (M, Gt)
+    ohp = jax.lax.broadcasted_iota(jnp.int32, (Gt, Gpad), 0)
+    ohc = jax.lax.broadcasted_iota(jnp.int32, (Gt, Gpad), 1)
+    oh = (ohc == j * Gt + ohp).astype(jnp.float32)
+    contrib = jnp.dot(tile_vals, oh,
+                      preferred_element_type=jnp.float32)  # (M, Gpad)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (M, Gpad), 1)
+    sel = (gcol >= j * Gt) & (gcol < (j + 1) * Gt)
+
+    @pl.when(j == 0)
+    def _init_gmax():
+        gmax_ref[:, :] = jnp.full((M, Gpad), -1e30, jnp.float32)
+
+    gmax_ref[:, :] = jnp.where(sel, contrib, gmax_ref[:, :])
 
     @pl.when(j == nT - 1)
     def _fold_commit():
@@ -589,6 +610,9 @@ def lm_head_logits_gmax_commit_pallas(
     lv_rows = qt.levels.shape[0]
     L, B, S, D = k_cache.shape
     assert M == B and S % 8 == 0 and d_out % 128 == 0
+    # gmax lanes pad to a 128 multiple (the accumulator block is the full
+    # array; callers slice [:, :d_out//128])
+    G_PAD = -(-(d_out // 128) // 128) * 128
 
     full = lambda shape: pl.BlockSpec(shape, lambda j: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -641,11 +665,11 @@ def lm_head_logits_gmax_commit_pallas(
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((M, T), lambda j: (0, j),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((M, T // 128), lambda j: (0, j),
+                   pl.BlockSpec((M, G_PAD), lambda j: (0, 0),
                                 memory_space=pltpu.VMEM),
                    any_spec, any_spec],
         out_shape=[jax.ShapeDtypeStruct((M, d_out), jnp.float32),
-                   jax.ShapeDtypeStruct((M, d_out // 128), jnp.float32),
+                   jax.ShapeDtypeStruct((M, G_PAD), jnp.float32),
                    jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
                    jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)],
         input_output_aliases={n_pre + 2: 2, n_pre + 3: 3},
@@ -657,7 +681,7 @@ def lm_head_logits_gmax_commit_pallas(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return logits, gmax, kc, vc
+    return logits, gmax[:, :d_out // 128], kc, vc
 
 
 @functools.partial(jax.jit,

@@ -1075,6 +1075,16 @@ class BatchedEngine:
                 # scheduling-based, so n_predict-terminated requests refill
                 # with ZERO drain latency (only EOS early-exit lags)
                 free = [b for b in range(self.B) if queue and free_mask[b]]
+                # refill hysteresis (A/B, VERDICT r4 #7): with >1, small
+                # refills defer until that many slots are free, batching
+                # staggered completions into fewer/fuller refill programs
+                # (each pays the full packed-weight dequant traffic) at the
+                # cost of slots idling meanwhile. Never defers when nothing
+                # is busy (the batch would stall forever).
+                min_refill = int(os.environ.get("BIOGPT_REFILL_MIN", "1"))
+                if (free and len(free) < min_refill
+                        and not all(free_mask)):
+                    free = []
                 for b in free:
                     slot_req[b] = None
                 refilled = refill(free)
