@@ -95,6 +95,10 @@ SERVE_SEQ = int(os.environ.get("BENCH_SEQ", "64" if TINY else "512"))
 # ~7.9k tok/s at B=8, ~13k at B=16, ~15k at B=32 for the 48-token
 # workload); 32 is the kernel's current cap (BENCH_SLOTS to override)
 SERVE_SLOTS = int(os.environ.get("BENCH_SLOTS", "8" if TINY else "32"))
+# decode chunk (steps per launch): 16 is the measured default; 32 halves
+# launch+drain dispatch density for relay-degraded days at the cost of
+# EOS-lag granularity (A/B knob)
+SERVE_CHUNK = int(os.environ.get("BENCH_CHUNK", "4" if TINY else "16"))
 
 
 def log(msg: str) -> None:
@@ -203,7 +207,7 @@ def bench_serving(params, config, qname: str, single_stream_tok_s: float,
     B, n_pred = SERVE_SLOTS, SERVE_PRED
     be = BatchedEngine(config, params, max_batch=B,
                        compute_dtype=jnp.bfloat16, max_seq=SERVE_SEQ,
-                       chunk=16, mesh=mesh, kv_quant=kv_quant,
+                       chunk=SERVE_CHUNK, mesh=mesh, kv_quant=kv_quant,
                        staged_kv=os.environ.get("BENCH_STAGED", "0") == "1")
     rng = np.random.default_rng(0)
     vmax = config.n_vocab - 2
@@ -286,7 +290,7 @@ def bench_serving_mixed(params, config, qname: str, mesh=None,
     B = SERVE_SLOTS
     be = BatchedEngine(config, params, max_batch=B,
                        compute_dtype=jnp.bfloat16, max_seq=SERVE_SEQ,
-                       chunk=16, mesh=mesh, kv_quant=kv_quant,
+                       chunk=SERVE_CHUNK, mesh=mesh, kv_quant=kv_quant,
                        paged_kv=paged_kv,
                        staged_kv=os.environ.get("BENCH_STAGED", "0") == "1")
     vmax = min(40000, config.n_vocab - 2)
