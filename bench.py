@@ -42,7 +42,17 @@ Env:
                                process (valid within-table ranking), then
                                exit
   BENCH_SEQ=N                  serving KV window cap (default 512; use
-                               1024 for the long-window int8-KV table)
+                               1024 for the long-window int8-KV table —
+                               tools/bench/bench_longwindow.py runs the
+                               full {bf16,int8}x{uniform,mixed} table in
+                               one process)
+  BENCH_MIXED_KVQ=0            skip the int8-KV mixed serving metric
+                               (emitted by default right after the bf16
+                               one: *_kvq_serving_mixed_tokens_per_sec)
+  BENCH_CHUNK=N                decode steps per serving launch (default
+                               16; 32 measured WORSE — it over-schedules
+                               48-token requests, RESULTS.md round 5)
+  BENCH_PREFILL_REPEATS=N      prefill sample count (default 3)
   BENCH_MESH=DxM               run the engine over a (data=D, model=M) mesh
                                (shard_map TP path) — for multi-chip rounds;
                                requires D*M <= len(jax.devices())
@@ -348,10 +358,19 @@ def bench_serving_mixed(params, config, qname: str, mesh=None,
     log(f"serving_mixed: median {agg:.1f} tok/s absolute at B={B} "
         f"over {n_reqs} mixed requests")
     suffix = "_paged" if paged_kv else ""
+    # per-request latency taps (runtime/metrics.py): accept->first-token
+    # and accept->final-token, measured at DRAIN time over every measured
+    # (and warmup) request — the production-shaped latency companion to
+    # the throughput number
+    snap = be.metrics.snapshot()
     emit(f"{qname}_serving_mixed{suffix}_tokens_per_sec", agg, "tokens/s",
          BASELINES_TOK_S.get(qname, BASELINE_TOKENS_PER_SEC),
          batch_slots=B, n_requests=n_reqs,
          spread=[round(s, 1) for s in sorted(absolutes)],
+         ttft_mean_s=snap.get("ttft_mean_s"),
+         ttft_max_s=snap.get("ttft_max_s"),
+         e2e_mean_s=snap.get("e2e_mean_s"),
+         e2e_max_s=snap.get("e2e_max_s"),
          workload={"prompt_classes": [list(c) for c in classes],
                    "n_predict_choices": preds, "stop_at_eos": True,
                    "sampling": "per-request (25% greedy)"})
