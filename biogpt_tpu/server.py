@@ -202,7 +202,14 @@ def main(argv=None) -> int:
     p.add_argument("--temp", type=float, default=0.0,
                    help="default temperature (requests may override)")
     p.add_argument("--kv-quant", action="store_true",
-                   help="int8 KV cache (half the KV HBM traffic)")
+                   help="int8 KV cache (half the KV HBM traffic; wins "
+                        "+12-23%% on long-window and mixed-length "
+                        "traffic, flat on short uniform — RESULTS.md)")
+    p.add_argument("--kv-groups", type=int, default=None,
+                   help="group-clamped KV streaming: slot groups stop "
+                        "paying KV traffic at their own live window "
+                        "(mixed-length batches; default auto = 8 when "
+                        "the batch divides, 0 disables)")
     args = p.parse_args(argv)
 
     from .modelio.checkpoint import load_params
@@ -215,7 +222,8 @@ def main(argv=None) -> int:
         return 1
     tokenizer = BioGptTokenizer(vocab, merges)
     engine = BatchedEngine(config, params, max_batch=args.batch,
-                           max_seq=args.max_seq, kv_quant=args.kv_quant)
+                           max_seq=args.max_seq, kv_quant=args.kv_quant,
+                           kv_groups=args.kv_groups)
     scheduler = ServingScheduler(
         engine, GenerationParams(temp=args.temp))
     server = BioGptServer(scheduler, tokenizer,
