@@ -345,6 +345,10 @@ def bench_serving_mixed(params, config, qname: str, mesh=None,
     seeds = [100 + r for r in range(5)]
     for s in seeds:
         be.serve(make_reqs(n_reqs, seed=s), gen)
+    # latency taps must cover the MEASURED serves only — the warmup
+    # serves above pay 20-40 s compiles that would dominate ttft/e2e max
+    from biogpt_tpu.runtime.metrics import ServingMetrics
+    be.metrics = ServingMetrics()
     for r, s in enumerate(seeds):
         reqs = make_reqs(n_reqs, seed=s)
         t0 = time.perf_counter()

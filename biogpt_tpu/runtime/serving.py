@@ -181,11 +181,16 @@ class BatchedEngine:
         # and math are unchanged (ops/pallas_decode._make_kernel_batched
         # ``groups``), and _assign_slots gives the scheduler length
         # affinity at group granularity so longs cluster. None -> auto
-        # (BIOGPT_KV_GROUPS env, else 8 when the shape allows).
+        # (BIOGPT_KV_GROUPS env, else 16 when the shape allows: the
+        # kernel A/B table (RESULTS round 5) has G=16 equal to G=8 with
+        # affinity-clustered longs but recovering -28% even when longs
+        # SCATTER across slots — finer groups make the elision robust to
+        # assignment; uniform overhead stays ~1%).
         if kv_groups is None:
             kv_groups = int(os.environ.get("BIOGPT_KV_GROUPS", "-1"))
             if kv_groups < 0:
-                kv_groups = 8 if self.B % 8 == 0 else 1
+                kv_groups = (16 if self.B % 16 == 0
+                             else 8 if self.B % 8 == 0 else 1)
         self._kv_groups = (kv_groups if kv_groups > 1
                            and self._fused_decode and not self._paged_kv
                            and self.B % kv_groups == 0 else None)
