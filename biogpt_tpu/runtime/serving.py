@@ -956,7 +956,7 @@ class BatchedEngine:
             already fits, the tightest (best fit). Without grouping the
             assignment is the old first-free-slot order."""
             G = self._kv_groups
-            if not G or len(reqs) <= 1:
+            if not G or not reqs:
                 return list(zip(free_slots, reqs))
             GB = self.B // G
             cur_max = [0] * G
