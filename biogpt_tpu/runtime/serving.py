@@ -277,6 +277,16 @@ class BatchedEngine:
             padded = ids.shape[1]
             small = init_cache(self.config, batch=ids.shape[0],
                                max_len=padded, dtype=self.cache_dtype)
+            # allow_pallas stays False: xprof (round 5) put refill
+            # prefills at ~42% of the mixed serve's DEVICE time, and
+            # routing the small (rows*padded <= 32) refills through the
+            # packed kernels was measured FLAT end-to-end (6,852 vs
+            # 6,848 tok/s) — the cost is dominated by the large-bucket
+            # programs where the XLA dequant-then-dot path is already
+            # right. The real lever is a PREFILL megakernel (one packed
+            # pass for the whole fresh-cache prompt forward — no cache
+            # streaming, causal-within-prompt attention); sized for
+            # round 6.
             logits, small = self._fwd(
                 params, ids, small, jnp.int32(0), self.config,
                 compute_dtype=self.compute_dtype, allow_pallas=False,
