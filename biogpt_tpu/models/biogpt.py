@@ -384,6 +384,68 @@ def forward_fused_decode_greedy(
     return out, cache
 
 
+def forward_prefill_fused(
+    params: dict,
+    ids: jax.Array,              # (R, T) int32 padded prompts, past = 0
+    config: BioGptConfig,
+    last_index: jax.Array,       # (R,) each prompt's real final position
+    compute_dtype=jnp.bfloat16,
+    cache_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fresh-cache prompt forward through the prefill megakernel.
+
+    The serving-refill counterpart of ``forward_fused_decode``: all L
+    layers of the (R, T) prompt batch run as ONE packed-plane kernel
+    (ops/pallas_prefill.py — causal self-attention within each prompt,
+    no KV streaming), leaving embedding, the per-prompt last-logits
+    gather, final LN and the lm_head as XLA ops. Returns
+    ``(logits (R, n_vocab), small_cache)`` with the small cache shaped
+    exactly like ``init_cache(batch=R, max_len=T)`` — rows beyond each
+    prompt's true length hold causally-computed padding values that no
+    consumer reads (idx < past masking downstream), matching the per-op
+    refill's contract. int8 ``cache_dtype`` quantizes rows with the
+    standard per-row absmax contract (runtime.cache.quantize_rows).
+    """
+    from ..ops.pallas_prefill import prefill_fused
+    from ..runtime.cache import QuantKVCache, quantize_rows
+
+    R, T = ids.shape
+    D = config.d_model
+    emb = embedding_lookup(ids, params["embed_tokens"]) * math.sqrt(D)
+    pos = (jnp.arange(T, dtype=jnp.int32) + config.pos_offset)[None, :]
+    pos_emb = embedding_lookup(jnp.broadcast_to(pos, (R, T)),
+                               params["embed_positions"])
+    x0 = (emb + pos_emb).reshape(R * T, D)
+
+    kv_quant = cache_dtype == jnp.int8
+    x, k_rows, v_rows = prefill_fused(
+        x0, params["layers"], rows=R, padded=T, n_head=config.n_head,
+        ln_eps=config.ln_eps, interpret=interpret,
+        cache_dtype=jnp.float32 if kv_quant else cache_dtype)
+    L = k_rows.shape[0]
+
+    sel = jnp.arange(R, dtype=jnp.int32) * T + jnp.asarray(
+        last_index, jnp.int32)
+    xl = x[sel]                                            # (R, D)
+    xl = _layer_norm(xl, params["final_ln"]["w"], params["final_ln"]["b"],
+                     config.ln_eps)
+    logits = matmul(xl[:, None, :], params["lm_head"],
+                    compute_dtype=compute_dtype, allow_pallas=True)
+    logits = logits[:, 0, :config.n_vocab]
+
+    if kv_quant:
+        kq, ksc = quantize_rows(k_rows)                    # (L, RT)
+        vq, vsc = quantize_rows(v_rows)
+        small = QuantKVCache(
+            k=kq.reshape(L, R, T, D), v=vq.reshape(L, R, T, D),
+            ks=ksc.reshape(L, R, 1, T), vs=vsc.reshape(L, R, 1, T))
+    else:
+        small = KVCache(k=k_rows.reshape(L, R, T, D),
+                        v=v_rows.reshape(L, R, T, D))
+    return logits, small
+
+
 def forward_fused_decode_sampled(
     params: dict,
     tokens: jax.Array,           # (B, 1) int32, 2 <= B <= 32

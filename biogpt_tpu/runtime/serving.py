@@ -249,6 +249,19 @@ class BatchedEngine:
             self._fused_greedy and not self._paged_kv
             and self.cache_dtype == jnp.bfloat16
             and config.d_model % 128 == 0 and self.max_seq % 8 == 0)
+        # Prefill megakernel for REFILLS (round 5): xprof put refill
+        # prefill programs at ~42% of the mixed serve's device time —
+        # each pays the XLA dequant pipeline's ~3.5 ms weight-traffic
+        # floor however few tokens it processes. Refills start from an
+        # empty cache (pure causal self-attention, no KV streaming), so
+        # shapes with rows*padded <= 512 run as ONE packed-plane pass
+        # (ops/pallas_prefill.py); the 32-row initial wave keeps the XLA
+        # MXU path. Off in interpret mode: the CPU fused-vs-per-op
+        # parity tests rely on both engines sharing the XLA refill, and
+        # the kernel has its own oracle tests + the on-chip identity
+        # gate.
+        self._prefill_fused = bool(self._fused_decode
+                                   and not self._interpret)
 
         def refill_commit(params, ids, cache, last, src_row, mask, rng,
                           toks, lengths, first_buf, temps, top_ps, top_ks,
@@ -274,23 +287,35 @@ class BatchedEngine:
             but always padding rows to B made a 1-request refill into a
             32-slot pool prefill 32x the tokens it needed.
             """
-            padded = ids.shape[1]
-            small = init_cache(self.config, batch=ids.shape[0],
-                               max_len=padded, dtype=self.cache_dtype)
-            # allow_pallas stays False: xprof (round 5) put refill
-            # prefills at ~42% of the mixed serve's DEVICE time, and
-            # routing the small (rows*padded <= 32) refills through the
-            # packed kernels was measured FLAT end-to-end (6,852 vs
-            # 6,848 tok/s) — the cost is dominated by the large-bucket
-            # programs where the XLA dequant-then-dot path is already
-            # right. The real lever is a PREFILL megakernel (one packed
-            # pass for the whole fresh-cache prompt forward — no cache
-            # streaming, causal-within-prompt attention); sized for
-            # round 6.
-            logits, small = self._fwd(
-                params, ids, small, jnp.int32(0), self.config,
-                compute_dtype=self.compute_dtype, allow_pallas=False,
-                logits_mode="last", last_index=last)
+            nr, padded = ids.shape
+            from ..ops.pallas_prefill import supports_prefill
+            if (self._prefill_fused
+                    and supports_prefill(params.get("layers", {}), nr,
+                                         padded, self.config.d_model)):
+                # prefill megakernel: the whole fresh-cache prompt
+                # forward as one packed-plane pass (no KV streaming —
+                # see ops/pallas_prefill.py). Turns a ~3.5 ms
+                # weight-bound XLA program into ~0.6 ms for the small
+                # refill shapes that dominate staggered mixed traffic.
+                from ..models.biogpt import forward_prefill_fused
+                logits, small = forward_prefill_fused(
+                    params, ids, self.config, last,
+                    compute_dtype=self.compute_dtype,
+                    cache_dtype=self.cache_dtype,
+                    interpret=self._interpret)
+            else:
+                # large shapes (the initial 32-row wave): the XLA
+                # dequant-then-dot MXU path is the right tool at
+                # m ~ 16k activation rows. (Routing merely the small
+                # refills through the packed MATMUL kernels alone —
+                # without the whole-forward fusion — measured flat,
+                # 6,852 vs 6,848 tok/s: per-op overheads dominate.)
+                small = init_cache(self.config, batch=nr,
+                                   max_len=padded, dtype=self.cache_dtype)
+                logits, small = self._fwd(
+                    params, ids, small, jnp.int32(0), self.config,
+                    compute_dtype=self.compute_dtype, allow_pallas=False,
+                    logits_mode="last", last_index=last)
             rng, sub = jax.random.split(rng)
             firsts = sample_per_request(sub, logits, n_tks, n_tps, n_temps,
                                         max_top_k=self.MAX_TOP_K)
