@@ -23,10 +23,12 @@ all — and the whole forward collapses to one packed-plane pass:
   K/V rows for every (prompt, position) leave as (L, R*T, D) outputs for
   the caller's cache merge; the final hidden state leaves once.
 
-Constraints: R*T <= 512 (VMEM: the fc1 activation is (R*T, d_ff) f32),
-lane-aligned dims, bf16-compute quantized layers (same supports gate as
-the decode megakernel). The serving refill routes through this whenever
-the shape fits (runtime/serving.py); the 32-row initial wave keeps the
+Constraints: R*T <= 512 for long-padded shapes, <= 1024 when T <= 128
+(VMEM: the fc1 activation is (R*T, d_ff) f32 and the per-prompt
+attention slabs scale with T*H), lane-aligned dims, bf16-compute
+quantized layers (same supports gate as the decode megakernel). The
+serving refill routes through this whenever the shape fits
+(runtime/serving.py); the 32-row long-prompt initial wave keeps the
 XLA MXU path, which is the right tool at m ~ 16k rows.
 
 Reference counterpart: the prompt loop of /root/reference/main.cpp (one
@@ -47,15 +49,24 @@ from ..quant.codecs import QK, GGML_TYPE_Q5_0, GGML_TYPE_Q5_1
 from ..quant.layouts import LEVEL_OFFSET, QuantizedTensor
 from .pallas_decode import _gelu_erf, _ln, _qmm_dq, _NT, supports_layers
 
-# VMEM budget cap on flattened rows (fc1 activations are (RT, d_ff) f32)
+# VMEM budget caps on flattened rows (fc1 activations are (RT, d_ff)
+# f32). The attention temporaries scale with T*H per unrolled prompt
+# (q_rep/qbd are (T*H, D); scores (T*H, T)), so SHORT-padded shapes
+# afford twice the flattened rows: at T <= 128 the per-prompt slabs stay
+# <= 8 MB and RT = 1024 covers the uniform serve's full 32x32 refill
+# wave and 8-row medium-prompt refills, both previously on the ~3.5 ms
+# XLA floor.
 _MAX_RT = 512
+_MAX_RT_SHORT = 1024
+_SHORT_T = 128
 
 
 def supports_prefill(layers: dict, rows: int, padded: int,
                      d_model: int) -> bool:
     """Shape gate for the prefill megakernel (refill-shaped prompts)."""
     rt = rows * padded
-    if rt > _MAX_RT or padded % 8 != 0 or d_model % 128 != 0:
+    cap = _MAX_RT_SHORT if padded <= _SHORT_T else _MAX_RT
+    if rt > cap or padded % 8 != 0 or d_model % 128 != 0:
         return False
     return supports_layers(layers, jnp.bfloat16, batch=1, n_new=1)
 

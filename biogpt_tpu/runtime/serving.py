@@ -254,14 +254,19 @@ class BatchedEngine:
         # each pays the XLA dequant pipeline's ~3.5 ms weight-traffic
         # floor however few tokens it processes. Refills start from an
         # empty cache (pure causal self-attention, no KV streaming), so
-        # shapes with rows*padded <= 512 run as ONE packed-plane pass
-        # (ops/pallas_prefill.py); the 32-row initial wave keeps the XLA
-        # MXU path. Off in interpret mode: the CPU fused-vs-per-op
+        # shapes with rows*padded <= 512 (<= 1024 at padded <= 128) run
+        # as ONE packed-plane pass (ops/pallas_prefill.py); the 32-row
+        # long-prompt initial wave keeps the XLA MXU path. Off in
+        # interpret mode: the CPU fused-vs-per-op
         # parity tests rely on both engines sharing the XLA refill, and
         # the kernel has its own oracle tests + the on-chip identity
-        # gate.
-        self._prefill_fused = bool(self._fused_decode
-                                   and not self._interpret)
+        # gate. BIOGPT_PREFILL_FUSED=0 is the operator A/B kill-switch
+        # (the int8-KV mixed delta sits inside chip-hour variance —
+        # RESULTS.md round 5 — so ops may want to re-measure on their
+        # hardware).
+        self._prefill_fused = bool(
+            self._fused_decode and not self._interpret
+            and os.environ.get("BIOGPT_PREFILL_FUSED", "1") != "0")
 
         def refill_commit(params, ids, cache, last, src_row, mask, rng,
                           toks, lengths, first_buf, temps, top_ps, top_ks,

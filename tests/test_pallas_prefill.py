@@ -58,6 +58,7 @@ def _pair(qtype, lens, padded, seed=0):
     ([3, 8, 6, 2], 8),             # full small wave
     ([13, 4], 16),                 # ragged within a bucket
     ([30], 32),                    # single longer prompt
+    ([3, 8, 6, 2, 5, 7, 4, 1], 8),  # 8-row wave (extended-cap row count)
 ])
 def test_prefill_kernel_matches_oracle(lens, padded):
     logits_o, logits_f, cache_o, cache_f, lens = _pair(
@@ -107,7 +108,13 @@ def test_supports_prefill_gate():
     layers = _packed_params(codecs.GGML_TYPE_Q4_0)["layers"]
     assert supports_prefill(layers, 4, 128, 1024)
     assert supports_prefill(layers, 1, 512, 1024)
-    assert not supports_prefill(layers, 8, 128, 1024)   # RT > 512
+    # short-padded shapes (T <= 128) afford RT up to 1024: the uniform
+    # 32-slot refill wave and 8-row medium-prompt refills
+    assert supports_prefill(layers, 8, 128, 1024)
+    assert supports_prefill(layers, 32, 32, 1024)
+    assert not supports_prefill(layers, 16, 128, 1024)  # RT > 1024
+    assert not supports_prefill(layers, 4, 256, 1024)   # long T: cap 512
+    assert not supports_prefill(layers, 2, 512, 1024)   # long T: cap 512
     assert not supports_prefill(layers, 2, 12, 1024)    # padded % 8
     assert not supports_prefill(layers, 2, 16, 1000)    # d_model % 128
 

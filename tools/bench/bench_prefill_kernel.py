@@ -1,0 +1,112 @@
+"""A/B the prefill megakernel vs the XLA refill on REAL refill shapes.
+
+Round-5 follow-up: the shape gate was extended to RT <= 1024 for
+short-padded prompts (T <= 128), covering the uniform serve's full
+32x32 refill wave and 8-row medium-prompt refills that previously paid
+the ~3.5 ms XLA dequant floor. This probe measures, per shape, in ONE
+process on the real chip:
+
+  - kernel vs XLA wall time (pipelined 8-deep, marginal 8-vs-2)
+  - argmax parity of the last-token logits (on-chip lowering check —
+    interpret tests cannot catch Mosaic bugs)
+
+Usage: python tools/bench/bench_prefill_kernel.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/biogpt_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from biogpt_tpu.config import BioGptConfig
+from biogpt_tpu.models.biogpt import forward, forward_prefill_fused
+from biogpt_tpu.modelio.synthetic import make_random_quantized_params
+from biogpt_tpu.ops.pallas_prefill import supports_prefill
+from biogpt_tpu.quant.codecs import GGML_TYPE_Q4_0
+from biogpt_tpu.runtime.cache import init_cache
+
+SHAPES = [  # (rows, padded) refill shapes; first two are the new coverage
+    (32, 32),    # uniform full-wave refill (new: RT=1024 short-T)
+    (8, 128),    # medium-prompt wave (new)
+    (4, 128),    # previously covered
+    (1, 512),    # single long prompt (previously covered)
+]
+
+
+def main():
+    config = BioGptConfig()
+    params = make_random_quantized_params(config, GGML_TYPE_Q4_0, seed=0)
+    params = jax.device_put(params)
+    rng = np.random.default_rng(0)
+
+    def run_xla(ids, last):
+        R, T = ids.shape
+        small = init_cache(config, batch=R, max_len=T, dtype=jnp.bfloat16)
+        logits, small = forward(
+            params, ids, small, jnp.int32(0), config,
+            compute_dtype=jnp.bfloat16, allow_pallas=False,
+            logits_mode="last", last_index=last)
+        return logits
+
+    def run_kernel(ids, last):
+        logits, _ = forward_prefill_fused(
+            params, ids, config, last, compute_dtype=jnp.bfloat16,
+            cache_dtype=jnp.bfloat16)
+        return logits
+
+    jit_xla = jax.jit(run_xla)
+    jit_kernel = jax.jit(run_kernel)
+
+    for R, T in SHAPES:
+        assert supports_prefill(params["layers"], R, T, config.d_model), \
+            (R, T)
+        ids = jnp.asarray(
+            rng.integers(4, 40000, size=(R, T)), jnp.int32)
+        last = jnp.full((R,), T - 1, jnp.int32)
+
+        t0 = time.perf_counter()
+        lx = np.asarray(jit_xla(ids, last))
+        tc_x = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lk = np.asarray(jit_kernel(ids, last))
+        tc_k = time.perf_counter() - t0
+        match = (lx.argmax(-1) == lk.argmax(-1)).mean()
+        print(f"({R:3d},{T:4d}) compile+1st: xla {tc_x:6.1f}s "
+              f"kernel {tc_k:6.1f}s  argmax match {match:.3f}",
+              flush=True)
+        assert match >= 0.97, f"parity failure at {(R, T)}: {match}"
+
+        def marginal(fn, ids, last):
+            def pipe(k):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(k):
+                    out = fn(ids, last)
+                np.asarray(out)
+                return time.perf_counter() - t0
+            pipe(2)
+            samples = []
+            for _ in range(3):
+                s, l = pipe(2), pipe(10)
+                samples.append((l - s) / 8)
+            return sorted(samples)[1]
+
+        mx = marginal(jit_xla, ids, last)
+        mk = marginal(jit_kernel, ids, last)
+        print(f"({R:3d},{T:4d}) per-program: xla {mx*1e3:7.3f} ms   "
+              f"kernel {mk*1e3:7.3f} ms   speedup {mx/mk:5.2f}x",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
