@@ -418,11 +418,16 @@ def forward_prefill_fused(
                                params["embed_positions"])
     x0 = (emb + pos_emb).reshape(R * T, D)
 
+    # int8: the kernel emits bf16 rows and quantize_rows runs in XLA.
+    # f32 row planes pushed the RT=1024 shapes 2.4 MB past the 104 MB
+    # scoped-vmem ceiling on v5e; quantizing from bf16 instead moves the
+    # int8 levels by at most one bf16 rounding (<= 0.4%), inside the
+    # cache contract's tolerance (tests/test_pallas_prefill.py).
     kv_quant = cache_dtype == jnp.int8
     x, k_rows, v_rows = prefill_fused(
         x0, params["layers"], rows=R, padded=T, n_head=config.n_head,
         ln_eps=config.ln_eps, interpret=interpret,
-        cache_dtype=jnp.float32 if kv_quant else cache_dtype)
+        cache_dtype=jnp.bfloat16 if kv_quant else cache_dtype)
     L = k_rows.shape[0]
 
     sel = jnp.arange(R, dtype=jnp.int32) * T + jnp.asarray(
